@@ -1,0 +1,60 @@
+"""Typed solver configuration.
+
+Parameter names, defaults, and ranges mirror the reference SOP node's DS file
+(`/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:21-88`) and the
+``CombustionParams`` struct marshaled across its C ABI
+(`/root/reference/src/Cuda/Kernels.cuh:6-13`), so parity runs can use
+identical settings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CombustionParams:
+    """Physics constants for combustion/buoyancy/vorticity, reference names."""
+
+    expansion_rate: float = 0.1  # SOP "expansion_rate"
+    temperature_release: float = 0.5  # SOP "temperature_gain"
+    buoyancy_strength: float = 1.0  # SOP "buoyancy_strength"
+    ambient_temp: float = 23.0  # SOP "ambient_temp"
+    vorticity_scale: float = 1.0  # SOP "vorticity"
+    factor_scale: float = 0.5  # SOP "factor_scale"
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    """Full per-step configuration (SOP parms + CombustionParams).
+
+    All values are static under jit: changing one triggers a recompile, like
+    changing a CUDA kernel's launch constants. ``dt`` defaults to 1/24
+    (Houdini's ``1/$FPS`` at 24 fps)."""
+
+    dt: float = 1.0 / 24.0
+    voxel_size: float = 1.0
+    iterations: int = 20  # pressure red-black Gauss-Seidel sweeps
+    combustion: CombustionParams = dataclasses.field(default_factory=CombustionParams)
+    has_collision: bool = False
+    # Documented deviations from the reference (SURVEY §7.5):
+    # - inactive reads return true background 0 (null tile) instead of the
+    #   reference's occasional clamp-to-voxel-0,
+    # - collision_sdf is preserved across steps instead of being zeroed by
+    #   the reference's copy-back bug (HNanoSolver.cu:364-369).
+
+    def replace(self, **kw) -> "SolverParams":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def inv_voxel_size(self) -> float:
+        return 1.0 / self.voxel_size
+
+    @property
+    def omega(self) -> float:
+        """SOR relaxation factor, 2/(1+sin(pi*dx)) — matches
+        `/root/reference/src/Cuda/HNanoSolver.cu:257` (including its
+        truncated 3.14159 pi)."""
+        import math
+
+        return 2.0 / (1.0 + math.sin(3.14159 * self.voxel_size))

@@ -1,0 +1,98 @@
+"""FieldState — the named-field container (GridIndexedData analog).
+
+The reference stores one coord array plus N named SoA value blocks
+(`/root/reference/src/Utils/GridData.hpp:16-166`), dense per 8^3 leaf
+(``totalVoxels = numLeaves * 512``). Here each scalar field is a
+``[T, 8, 8, 8]`` float32 array and velocity is ``[T, 8, 8, 8, 3]``, where
+``T`` is the topology capacity; row 0 (null tile) and padding rows are kept
+identically zero as an invariant all samplers rely on.
+
+FieldState is a pytree, so it passes through jit/shard_map/scan unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hnanosolver_tpu.core import coords as C
+from hnanosolver_tpu.core.topology import Topology, active_mask
+
+COMBUSTION_FIELDS = ("fuel", "waste", "temperature", "flame")
+COLLISION_FIELD = "collision_sdf"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FieldState:
+    """velocity [T,8,8,8,3] + named scalar fields [T,8,8,8]."""
+
+    velocity: jax.Array
+    scalars: Dict[str, jax.Array]
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.scalars))
+        return (self.velocity, tuple(self.scalars[n] for n in names)), names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        velocity, vals = children
+        return cls(velocity=velocity, scalars=dict(zip(names, vals)))
+
+    # -- convenience ------------------------------------------------------
+    def replace(self, **kw) -> "FieldState":
+        return dataclasses.replace(self, **kw)
+
+    def with_scalar(self, name: str, value: jax.Array) -> "FieldState":
+        s = dict(self.scalars)
+        s[name] = value
+        return self.replace(scalars=s)
+
+    @property
+    def capacity(self) -> int:
+        return self.velocity.shape[0]
+
+    def sdf(self) -> Optional[jax.Array]:
+        return self.scalars.get(COLLISION_FIELD)
+
+
+def zeros_state(
+    topo: Topology,
+    scalar_names=("density", "temperature", "fuel", "waste", "flame"),
+    dtype=jnp.float32,
+) -> FieldState:
+    """Zero-initialized state matching a topology. The reference requires the
+    four combustion fields to exist even for pure smoke
+    (`/root/reference/src/Cuda/HNanoSolver.cu:193-201`); we keep the same
+    contract for the full step."""
+    T, L = topo.capacity, C.LEAF
+    return FieldState(
+        velocity=jnp.zeros((T, L, L, L, 3), dtype),
+        scalars={n: jnp.zeros((T, L, L, L), dtype) for n in scalar_names},
+    )
+
+
+def mask_state(topo: Topology, state: FieldState) -> FieldState:
+    """Zero out null/padding tile rows, restoring the background invariant."""
+    m = active_mask(topo)
+    mv = m[:, None, None, None]
+    return FieldState(
+        velocity=state.velocity * mv[..., None],
+        scalars={k: v * mv for k, v in state.scalars.items()},
+    )
+
+
+def source_into(state: FieldState, source: FieldState) -> FieldState:
+    """Composite a sourcing state additively — the analog of the reference's
+    ``openvdb::tools::compSum`` sourcing path
+    (`/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:161-181`)."""
+    scalars = dict(state.scalars)
+    for k, v in source.scalars.items():
+        if k == COLLISION_FIELD:
+            scalars[k] = v  # SDF is replaced, not summed
+        else:
+            scalars[k] = scalars.get(k, jnp.zeros_like(v)) + v
+    return FieldState(velocity=state.velocity + source.velocity, scalars=scalars)

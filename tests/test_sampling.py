@@ -1,0 +1,104 @@
+"""Sampler semantics — port of the reference's IndexSamplerTest /
+TrilinearSamplerTest (`/root/reference/Tests/IndexGrid.cpp:157-282`),
+including the background-0 convention and cross-tile interpolation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnanosolver_tpu.core import coords as C
+from hnanosolver_tpu.core.topology import build_topology, build_topology_dense
+from hnanosolver_tpu.ops.halo import center, gather_halo, shift
+from hnanosolver_tpu.ops.sampling import sample_nearest, sample_trilinear
+
+
+def make_field(topo, fn):
+    """Fill a scalar field from fn(x, y, z) evaluated at voxel coords."""
+    from hnanosolver_tpu.core.topology import voxel_positions, active_mask
+
+    pos = voxel_positions(topo).astype(jnp.float32)
+    vals = fn(pos[..., 0], pos[..., 1], pos[..., 2])
+    return vals * active_mask(topo)[:, None, None, None]
+
+
+def test_nearest_matches_and_background():
+    topo = build_topology(np.array([[0, 0, 0]], np.int32))
+    f = make_field(topo, lambda x, y, z: x + 10 * y + 100 * z)
+    got = sample_nearest(topo, f, jnp.array([[3, 4, 5], [7, 0, 0]], jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), [3 + 40 + 500, 7.0])
+    # outside active set -> exact 0
+    assert float(sample_nearest(topo, f, jnp.array([8, 0, 0], jnp.int32))) == 0.0
+    assert float(sample_nearest(topo, f, jnp.array([-1, 0, 0], jnp.int32))) == 0.0
+
+
+def test_trilinear_linear_field_exact():
+    # Trilinear interp reproduces any linear field exactly in the interior.
+    topo = build_topology_dense((16, 16, 16))
+    f = make_field(topo, lambda x, y, z: 2 * x - 3 * y + 0.5 * z + 1)
+    pts = jnp.array(
+        [[3.25, 4.5, 5.75], [0.0, 0.0, 0.0], [10.9, 2.2, 7.6], [14.0, 14.5, 14.99]],
+        jnp.float32,
+    )
+    got = np.asarray(sample_trilinear(topo, f, pts))
+    want = 2 * pts[:, 0] - 3 * pts[:, 1] + 0.5 * pts[:, 2] + 1
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5)
+
+
+def test_trilinear_crosses_tile_boundary():
+    topo = build_topology_dense((16, 8, 8))
+    f = make_field(topo, lambda x, y, z: x)
+    # interpolate straddling the tile seam at x=7..8
+    got = float(sample_trilinear(topo, f, jnp.array([7.5, 3.0, 3.0], jnp.float32)))
+    np.testing.assert_allclose(got, 7.5, rtol=1e-6)
+
+
+def test_trilinear_blends_to_background():
+    topo = build_topology(np.array([[0, 0, 0]], np.int32))
+    f = make_field(topo, lambda x, y, z: jnp.ones_like(x))
+    # halfway past the +x boundary voxel: corners at x=7 (1.0) and x=8 (0.0)
+    got = float(sample_trilinear(topo, f, jnp.array([7.5, 3.0, 3.0], jnp.float32)))
+    np.testing.assert_allclose(got, 0.5, rtol=1e-6)
+
+
+def test_trilinear_vector_field():
+    topo = build_topology_dense((8, 8, 8))
+    from hnanosolver_tpu.core.topology import voxel_positions, active_mask
+
+    pos = voxel_positions(topo).astype(jnp.float32)
+    vel = pos * active_mask(topo)[:, None, None, None, None]  # v = position
+    got = np.asarray(
+        sample_trilinear(topo, vel, jnp.array([3.5, 2.25, 6.0], jnp.float32))
+    )
+    np.testing.assert_allclose(got, [3.5, 2.25, 6.0], rtol=1e-6)
+
+
+def test_halo_matches_neighbors():
+    topo = build_topology_dense((16, 16, 16))
+    f = make_field(topo, lambda x, y, z: x + 10 * y + 100 * z)
+    pad = gather_halo(topo, f)
+    assert pad.shape == (topo.capacity, 10, 10, 10)
+    np.testing.assert_allclose(np.asarray(center(pad)), np.asarray(f))
+    # shifted views equal nearest-neighbor reads
+    from hnanosolver_tpu.core.topology import voxel_positions
+
+    pos = voxel_positions(topo)
+    for off in [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, 0, -1), (1, 1, 1), (-1, -1, 1)]:
+        want = sample_nearest(topo, f, pos + jnp.array(off, jnp.int32))
+        got = shift(pad, *off)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), err_msg=str(off))
+
+
+def test_halo_vector_channels():
+    topo = build_topology_dense((16, 8, 8))
+    from hnanosolver_tpu.core.topology import voxel_positions, active_mask
+
+    vel = voxel_positions(topo).astype(jnp.float32)
+    vel = vel * active_mask(topo)[:, None, None, None, None]
+    pad = gather_halo(topo, vel)
+    assert pad.shape == (topo.capacity, 10, 10, 10, 3)
+    got = np.asarray(shift(pad, 1, 0, 0))
+    pos = np.asarray(voxel_positions(topo))
+    want = (pos + [1, 0, 0]).astype(np.float32)
+    # beyond the +x end of the box the neighbor is background 0
+    want[pos[..., 0] + 1 >= 16] = 0
+    active = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(got[active], want[active])
