@@ -32,8 +32,12 @@ class SolverParams:
     changing a CUDA kernel's launch constants. ``dt`` defaults to 1/24
     (Houdini's ``1/$FPS`` at 24 fps)."""
 
+    # NOTE on voxel_size: the SOR factor omega = 2/(1+sin(pi*dx)) (reference
+    # formula) reaches the stability limit omega=2 at dx=1, i.e. the solver
+    # assumes sub-unit voxel sizes (Houdini VDBs typically use ~0.1). The
+    # default 0.5 yields omega=1 (plain Gauss-Seidel), which always converges.
     dt: float = 1.0 / 24.0
-    voxel_size: float = 1.0
+    voxel_size: float = 0.5
     iterations: int = 20  # pressure red-black Gauss-Seidel sweeps
     combustion: CombustionParams = dataclasses.field(default_factory=CombustionParams)
     has_collision: bool = False
