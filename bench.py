@@ -1,0 +1,94 @@
+"""Benchmark: active voxel-updates/sec/chip for a FULL solver step on a
+256^3-class sparse rising plume (BASELINE.json north-star).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md), so we use its
+own bytes/voxel bandwidth model (`/root/reference/src/Cuda/Utils.cuh:260-269`
+with the per-kernel constants from HNanoSolver.cu) evaluated at the memory
+bandwidth of an RTX-class GPU (RTX 4090, ~1008 GB/s): the speed-of-light
+throughput the CUDA implementation could reach if perfectly HBM-bound.
+With ITERATIONS=50 pressure sweeps that model gives
+  3324 bytes/voxel  ->  ~303 M voxel-updates/s.
+``vs_baseline`` is (our measured voxel-updates/s) / (that envelope).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
+RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
+
+
+def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
+    """Tile set for a developed plume: emitter sphere + rising column."""
+    from hnanosolver_tpu.core import coords as C
+
+    r_t = radius_vox // C.LEAF
+    h_t = height_vox // C.LEAF
+    cx, cz = center_x // C.LEAF, center_z // C.LEAF
+    tiles = []
+    for y in range(h_t):
+        # column widens slightly with height (plume cone)
+        rr = r_t * (0.6 + 0.4 * y / max(h_t - 1, 1))
+        for x in range(cx - r_t, cx + r_t + 1):
+            for z in range(cz - r_t, cz + r_t + 1):
+                if (x - cx) ** 2 + (z - cz) ** 2 <= rr * rr:
+                    tiles.append((x, y, z))
+    return np.array(tiles, np.int32)
+
+
+def main():
+    import jax
+
+    from hnanosolver_tpu.config import SolverParams
+    from hnanosolver_tpu.core.topology import build_topology
+    from hnanosolver_tpu.fields import zeros_state
+    from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
+    from hnanosolver_tpu.utils.timers import full_step_bytes_per_voxel, time_fn
+
+    tiles = build_plume_envelope()
+    topo = build_topology(tiles)
+    params = SolverParams(dt=1.0 / 24.0, iterations=ITERATIONS, voxel_size=0.5)
+    cfg = PlumeConfig(center=(128.0, 24.0, 128.0), radius=20.0)
+    state = zeros_state(topo)
+
+    # develop a few frames so fields are realistic (and warm the jit cache)
+    for _ in range(3):
+        state = plume_step(topo, state, params, cfg)
+    jax.block_until_ready(state)
+
+    t = time_fn(plume_step, topo, state, params, cfg, warmup=2, iters=10)
+
+    voxels = topo.num_voxels
+    vups = voxels / t
+    bpv = full_step_bytes_per_voxel(ITERATIONS)
+    baseline_vups = RTX_CLASS_GBPS * 1e9 / bpv
+    print(
+        f"# device={jax.devices()[0]} active_tiles={int(topo.n_active)} "
+        f"active_voxels={voxels} step={t * 1e3:.2f} ms "
+        f"modeled_bw={vups * bpv / 1e9:.1f} GB/s "
+        f"(reference byte model, {bpv} B/voxel, {ITERATIONS} pressure iters)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "active_voxel_updates_per_sec_full_step_256plume",
+                "value": round(vups, 1),
+                "unit": "voxel_updates/s/chip",
+                "vs_baseline": round(vups / baseline_vups, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

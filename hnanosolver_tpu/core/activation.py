@@ -1,0 +1,124 @@
+"""Per-frame topology activation: grow/shrink the active tile set as the
+simulation evolves, remapping field state between topologies.
+
+The reference rebuilds its NanoVDB index grid from scratch every cook from
+the union of all field topologies plus dilation
+(`/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:188-199`,
+`HNanoSolver.cu:375-384`). The TPU equivalent keeps a capacity-padded table
+and *remaps by key*: activation within capacity changes array values only
+(no recompile); capacity grows by doubling (amortized recompiles).
+
+Split of responsibilities:
+- ``occupied_tile_mask`` (device): which active tiles still hold matter.
+- ``topology_from_mask`` (host): new tile set = occupied tiles dilated by a
+  radius, plus always-kept tiles (emitters); builds the new Topology.
+- ``remap`` (device): gather every field from old rows to new rows by key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnanosolver_tpu.core import coords as C
+from hnanosolver_tpu.core.topology import Topology, build_topology
+from hnanosolver_tpu.fields import COLLISION_FIELD, FieldState
+
+
+def occupied_tile_mask(
+    topo: Topology, state: FieldState, threshold: float = 1e-4
+) -> jax.Array:
+    """[T] bool: tile holds any field value above threshold (device-side).
+    Velocity counts via its max |component|; collision_sdf does not count
+    (solids don't drive topology in the reference either — the SDF is
+    unioned separately by the caller if desired)."""
+    occ = jnp.max(jnp.abs(state.velocity), axis=(1, 2, 3, 4))
+    for name, f in state.scalars.items():
+        if name == COLLISION_FIELD:
+            continue
+        occ = jnp.maximum(occ, jnp.max(jnp.abs(f), axis=(1, 2, 3)))
+    ids = jax.lax.broadcasted_iota(jnp.int32, (topo.capacity, 1), 0)[:, 0]
+    active = (ids >= 1) & (ids <= topo.n_active)
+    return active & (occ > threshold)
+
+
+def topology_from_mask(
+    topo: Topology,
+    occ_mask: np.ndarray,
+    radius: int = 1,
+    keep_tiles: Optional[np.ndarray] = None,
+    min_capacity: Optional[int] = None,
+) -> Topology:
+    """Host-side: new topology = occupied tiles dilated by ``radius`` (tile
+    granularity) union ``keep_tiles``. Capacity never shrinks below the
+    current one (so steady states never recompile)."""
+    origins = np.asarray(topo.origins)
+    occ = np.asarray(occ_mask)
+    hot = origins[occ]
+    parts = [hot]
+    if keep_tiles is not None and len(keep_tiles):
+        parts.append(np.asarray(keep_tiles, np.int32))
+    if not parts or sum(len(p) for p in parts) == 0:
+        tiles = np.zeros((0, 3), np.int32)
+    else:
+        tiles = np.concatenate(parts, axis=0)
+    if radius > 0 and len(tiles):
+        offs = np.array(
+            [
+                (dx, dy, dz)
+                for dx in range(-radius, radius + 1)
+                for dy in range(-radius, radius + 1)
+                for dz in range(-radius, radius + 1)
+            ],
+            np.int32,
+        )
+        tiles = (tiles[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+    cap = max(topo.capacity, min_capacity or 0)
+    # grow capacity if needed (doubling happens inside build via _round)
+    n_unique = len(np.unique(C.pack_keys_np(tiles))) if len(tiles) else 0
+    while cap < n_unique + 1:
+        cap *= 2
+    return build_topology(tiles, capacity=cap)
+
+
+def remap_rows(old: Topology, new: Topology) -> jax.Array:
+    """[T_new] int32: for each new table row, the old row holding the same
+    tile key (0 where the tile is newly activated). Row 0 maps to row 0."""
+    pos = jnp.searchsorted(old.keys, new.keys).astype(jnp.int32)
+    pos = jnp.minimum(pos, old.capacity - 1)
+    found = old.keys[pos] == new.keys
+    rows = jnp.where(found, pos, 0)
+    # padding rows of the new table must read zeros -> old row 0
+    ids = jax.lax.broadcasted_iota(jnp.int32, (new.capacity, 1), 0)[:, 0]
+    return jnp.where((ids >= 1) & (ids <= new.n_active), rows, 0)
+
+
+def remap_state(old: Topology, new: Topology, state: FieldState) -> FieldState:
+    """Gather every field from the old layout into the new one (device-side,
+    jit-friendly when capacities match)."""
+    rows = remap_rows(old, new)
+    return FieldState(
+        velocity=jnp.take(state.velocity, rows, axis=0),
+        scalars={k: jnp.take(v, rows, axis=0) for k, v in state.scalars.items()},
+    )
+
+
+def expand_for_state(
+    topo: Topology,
+    state: FieldState,
+    threshold: float = 1e-4,
+    radius: int = 1,
+    keep_tiles: Optional[np.ndarray] = None,
+):
+    """Host-driver convenience: one activation pass. Returns (topo, state),
+    unchanged (same objects) if the active set is already exact."""
+    occ = np.asarray(occupied_tile_mask(topo, state, threshold))
+    new_topo = topology_from_mask(topo, occ, radius=radius, keep_tiles=keep_tiles)
+    if new_topo.capacity == topo.capacity and bool(
+        jnp.all(new_topo.keys == topo.keys)
+    ):
+        return topo, state
+    return new_topo, remap_state(topo, new_topo, state)

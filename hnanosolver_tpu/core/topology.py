@@ -43,7 +43,11 @@ class Topology:
     keys: jax.Array  # [T] int32, sorted
     origins: jax.Array  # [T, 3] int32 tile coords
     nbr: jax.Array  # [T, 27] int32 tile ids
-    n_active: int  # static: number of active tiles (rows 1..n_active)
+    n_active: jax.Array  # [] int32: active tile count (rows 1..n_active).
+    # n_active is a TRACED scalar, not static aux data: per-frame tile
+    # activation within a fixed capacity therefore never recompiles —
+    # only capacity growth does (the replacement for the reference's
+    # per-cook voxelsToGrid rebuild).
 
     @property
     def capacity(self) -> int:
@@ -51,16 +55,17 @@ class Topology:
 
     @property
     def num_voxels(self) -> int:
-        """Active voxel count (dense-per-leaf, like the reference's N*512)."""
-        return self.n_active * C.TILE_VOXELS
+        """Active voxel count (dense-per-leaf, like the reference's N*512).
+        Host-side only (concretizes n_active)."""
+        return int(self.n_active) * C.TILE_VOXELS
 
     def tree_flatten(self):
-        return (self.keys, self.origins, self.nbr), (self.n_active,)
+        return (self.keys, self.origins, self.nbr, self.n_active), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, origins, nbr = children
-        return cls(keys=keys, origins=origins, nbr=nbr, n_active=aux[0])
+        keys, origins, nbr, n_active = children
+        return cls(keys=keys, origins=origins, nbr=nbr, n_active=n_active)
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +136,7 @@ def build_topology(
         keys=jnp.asarray(full_keys),
         origins=jnp.asarray(origins),
         nbr=jnp.asarray(nbr),
-        n_active=n,
+        n_active=jnp.asarray(n, jnp.int32),
     )
 
 
@@ -161,7 +166,7 @@ def dilate_topology(topo: Topology, radius: int = 1, capacity=None) -> Topology:
     (`/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:188-199`,
     which dilates by the "padding" param at voxel level; we dilate at tile
     granularity, which is what leaf-dense allocation makes of it anyway)."""
-    n = topo.n_active
+    n = int(topo.n_active)
     active = np.asarray(topo.origins[1 : n + 1])
     offs = np.array(
         [

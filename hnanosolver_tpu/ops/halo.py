@@ -24,34 +24,51 @@ from hnanosolver_tpu.core.topology import Topology
 #   offset -1: neighbor below provides its top plane (idx 7) -> pad idx 0
 #   offset  0: own full extent (0..8) -> pad 1..9
 #   offset +1: neighbor above provides its bottom plane (idx 0) -> pad idx 9
-_SRC = {-1: slice(7, 8), 0: slice(0, 8), 1: slice(0, 1)}
-_DST = {-1: slice(0, 1), 0: slice(1, 9), 1: slice(9, 10)}
+def _src(o: int, r: int) -> slice:
+    """Source slice in the neighbor tile for axis offset o and halo radius r."""
+    return {-1: slice(8 - r, 8), 0: slice(0, 8), 1: slice(0, r)}[o]
 
 
-def gather_halo(topo: Topology, field: jax.Array) -> jax.Array:
-    """[T, 8, 8, 8, *ch] -> [T, 10, 10, 10, *ch] with 1-voxel neighbor halo."""
+def _dst(o: int, r: int) -> slice:
+    """Destination slice in the padded tile."""
+    return {-1: slice(0, r), 0: slice(r, r + 8), 1: slice(r + 8, r + 8 + r)}[o]
+
+
+def gather_halo(topo: Topology, field: jax.Array, radius: int = 1) -> jax.Array:
+    """[T, 8, 8, 8, *ch] -> [T, 8+2r, 8+2r, 8+2r, *ch] with an r-voxel halo
+    from the 26 neighbor tiles (r <= 8: everything needed lives in the
+    27-neighborhood). All data movement is contiguous row gathers over the
+    tile axis — the fast path on TPU; per-element gathers are avoided
+    entirely (they lower catastrophically, ~16M elem/s measured)."""
+    r = radius
+    assert 1 <= r <= 8
     T = field.shape[0]
     ch = field.shape[4:]
-    pad = jnp.zeros((T, 10, 10, 10) + ch, field.dtype)
+    E = 8 + 2 * r
+    pad = jnp.zeros((T, E, E, E) + ch, field.dtype)
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
-                sub = field[:, _SRC[ox], _SRC[oy], _SRC[oz]]
+                sub = field[:, _src(ox, r), _src(oy, r), _src(oz, r)]
                 if (ox, oy, oz) == (0, 0, 0):
                     vals = sub
                 else:
                     d = (ox + 1) * 9 + (oy + 1) * 3 + (oz + 1)
                     vals = jnp.take(sub, topo.nbr[:, d], axis=0)
-                pad = pad.at[:, _DST[ox], _DST[oy], _DST[oz]].set(vals)
+                pad = pad.at[:, _dst(ox, r), _dst(oy, r), _dst(oz, r)].set(vals)
     return pad
 
 
 def center(pad: jax.Array) -> jax.Array:
-    """The un-padded 8^3 interior of a halo array."""
-    return pad[:, 1:9, 1:9, 1:9]
+    """The un-padded 8^3 interior of a halo array (any radius)."""
+    r = (pad.shape[1] - 8) // 2
+    return pad[:, r : r + 8, r : r + 8, r : r + 8]
 
 
 def shift(pad: jax.Array, dx: int, dy: int, dz: int) -> jax.Array:
-    """Neighbor view at integer offset (dx,dy,dz), each in [-1, 1]:
-    ``shift(pad, 1, 0, 0)[t, i, j, k] == field[t-site + (1,0,0)]``."""
-    return pad[:, 1 + dx : 9 + dx, 1 + dy : 9 + dy, 1 + dz : 9 + dz]
+    """Neighbor view at integer offset (dx,dy,dz), each within the halo
+    radius: ``shift(pad, 1, 0, 0)[t, i, j, k] == field[t-site + (1,0,0)]``."""
+    r = (pad.shape[1] - 8) // 2
+    return pad[
+        :, r + dx : r + 8 + dx, r + dy : r + 8 + dy, r + dz : r + 8 + dz
+    ]

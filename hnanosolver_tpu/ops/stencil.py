@@ -96,14 +96,18 @@ def vorticity_confinement(
         # The reference recomputes |curl u| AT each offset coordinate through
         # the tree sampler (Utils.cuh:226-243) — so the magnitude can be
         # nonzero just outside the active set, where the curl stencil still
-        # touches active voxels. Reproduce that pointwise.
-        pos = voxel_positions(topo)
+        # touches active voxels. Reproduce that with shift views over one
+        # velocity halo of radius s+1 (row gathers only — no element gathers).
+        big = gather_halo(topo, vel, s + 1)
 
         def mag_at(off):
-            q = pos + jnp.array(off, jnp.int32)
-
             def v(axis_off):
-                return sample_nearest(topo, vel, q + jnp.array(axis_off, jnp.int32))
+                return shift(
+                    big,
+                    off[0] + axis_off[0],
+                    off[1] + axis_off[1],
+                    off[2] + axis_off[2],
+                )
 
             upx, umx = v((1, 0, 0)), v((-1, 0, 0))
             upy, umy = v((0, 1, 0)), v((0, -1, 0))

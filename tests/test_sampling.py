@@ -102,3 +102,59 @@ def test_halo_vector_channels():
     want[pos[..., 0] + 1 >= 16] = 0
     active = np.asarray(active_mask(topo)).astype(bool)
     np.testing.assert_allclose(got[active], want[active])
+
+
+def test_local_trilinear_matches_global(rng):
+    """The halo-block local sampler must agree with the searchsorted global
+    sampler for displacements within the halo radius."""
+    from hnanosolver_tpu.core.topology import voxel_positions, active_mask
+    from hnanosolver_tpu.ops.sampling import sample_trilinear_local
+    import jax.numpy as jnp
+
+    topo = build_topology_dense((24, 24, 24))
+    f = make_field(topo, lambda x, y, z: jnp.sin(0.3 * x) + 0.5 * y - 0.1 * z * z)
+    disp = jnp.asarray(
+        rng.uniform(-2.5, 2.5, (topo.capacity, 8, 8, 8, 3)).astype(np.float32)
+    )
+    pos = voxel_positions(topo).astype(jnp.float32)
+    want = sample_trilinear(topo, f, pos + disp)
+    got = sample_trilinear_local(topo, f, disp, radius=4)
+    active = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[active], np.asarray(want)[active], rtol=1e-5, atol=1e-4
+    )
+
+
+def test_local_trilinear_vector_and_offset(rng):
+    from hnanosolver_tpu.core.topology import voxel_positions, active_mask
+    from hnanosolver_tpu.ops.sampling import (
+        sample_offset_local,
+        sample_trilinear_local,
+    )
+    import jax.numpy as jnp
+
+    topo = build_topology_dense((16, 16, 16))
+    from hnanosolver_tpu.core.topology import voxel_positions as vp
+
+    vel = vp(topo).astype(jnp.float32)
+    vel = vel * active_mask(topo)[:, None, None, None, None]
+    disp = jnp.asarray(
+        rng.uniform(-1.5, 1.5, (topo.capacity, 8, 8, 8, 3)).astype(np.float32)
+    )
+    pos = vp(topo).astype(jnp.float32)
+    want = sample_trilinear(topo, vel, pos + disp)
+    got = sample_trilinear_local(topo, vel, disp, radius=3)
+    active = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[active], np.asarray(want)[active], rtol=1e-5, atol=1e-4
+    )
+    # integer-offset nearest reads
+    f = make_field(topo, lambda x, y, z: x + 10 * y + 100 * z)
+    for off in [(2, 0, 0), (0, -3, 1), (-2, -2, -2)]:
+        want_n = sample_nearest(
+            topo, f, vp(topo) + jnp.array(off, jnp.int32)
+        )
+        got_n = sample_offset_local(topo, f, off)
+        np.testing.assert_allclose(
+            np.asarray(got_n)[active], np.asarray(want_n)[active], err_msg=str(off)
+        )
