@@ -52,7 +52,7 @@ def main():
     from hnanosolver_tpu.core.topology import build_topology
     from hnanosolver_tpu.fields import zeros_state
     from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
-    from hnanosolver_tpu.utils.timers import full_step_bytes_per_voxel, time_fn
+    from hnanosolver_tpu.utils.timers import full_step_bytes_per_voxel, time_chained
 
     tiles = build_plume_envelope()
     topo = build_topology(tiles)
@@ -63,9 +63,12 @@ def main():
     # develop a few frames so fields are realistic (and warm the jit cache)
     for _ in range(3):
         state = plume_step(topo, state, params, cfg)
-    jax.block_until_ready(state)
 
-    t = time_fn(plume_step, topo, state, params, cfg, warmup=2, iters=10)
+    # Chained timing with a single device->host fence per measurement:
+    # block_until_ready is not a reliable fence on tunneled backends, and a
+    # D2H pull has ~0.3-0.5 s flat latency that must not be attributed to
+    # the step.
+    t = time_chained(lambda s: plume_step(topo, s, params, cfg), state, n_steps=8)
 
     voxels = topo.num_voxels
     vups = voxels / t

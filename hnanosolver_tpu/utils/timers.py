@@ -113,3 +113,44 @@ def time_fn(fn, *args, warmup: int = 2, iters: int = 10, **kw) -> float:
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def _pull_scalar(tree) -> None:
+    """Force real execution by pulling one element to the host. On tunneled
+    backends (axon) block_until_ready can return before execution completes,
+    so a device->host read is the only trustworthy fence."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def time_chained(step_fn, state, n_steps: int = 8, repeats: int = 3) -> float:
+    """Robust per-step time on high-latency tunneled devices: run a
+    ``lax.fori_loop`` of ``n_steps`` dependent applications of ``step_fn``
+    inside one jit (step body compiles once), end in ONE device->host pull,
+    subtract the 1-step run (pull + dispatch latency), and divide.
+    Returns seconds/step."""
+
+    @jax.jit
+    def chain(s, k):
+        return jax.lax.fori_loop(0, k, lambda _, x: step_fn(x), s)
+
+    import jax.numpy as jnp
+
+    one = jnp.asarray(1)
+    n = jnp.asarray(n_steps)
+    _pull_scalar(chain(state, one))
+    _pull_scalar(chain(state, n))
+
+    def measure(k):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _pull_scalar(chain(state, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = measure(one)
+    tn = measure(n)
+    return max(tn - t1, 1e-9) / (n_steps - 1)
