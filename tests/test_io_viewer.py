@@ -1,0 +1,82 @@
+"""Checkpoint round-trips and renderer smoke tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnanosolver_tpu.config import SolverParams
+from hnanosolver_tpu.core.topology import active_mask, build_topology, voxel_positions
+from hnanosolver_tpu.fields import zeros_state
+from hnanosolver_tpu.io.state import (
+    load_npz,
+    load_sparse_npz,
+    save_npz,
+    save_sparse_npz,
+)
+
+
+def _demo(capacity=None):
+    topo = build_topology(
+        np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.int32), capacity=capacity
+    )
+    state = zeros_state(topo)
+    pos = voxel_positions(topo).astype(jnp.float32)
+    m = active_mask(topo)[:, None, None, None]
+    state = state.with_scalar("density", (pos[..., 0] + 0.5 * pos[..., 1]) * m)
+    state = state.replace(velocity=pos * 0.1 * m[..., None])
+    return topo, state
+
+
+def test_npz_roundtrip(tmp_path):
+    topo, state = _demo()
+    params = SolverParams(iterations=7, voxel_size=0.25)
+    p = str(tmp_path / "ckpt.npz")
+    save_npz(p, topo, state, params, frame=42)
+    topo2, state2, params2, frame = load_npz(p)
+    assert frame == 42
+    assert params2 == params
+    assert int(topo2.n_active) == int(topo.n_active)
+    np.testing.assert_array_equal(np.asarray(topo2.keys), np.asarray(topo.keys))
+    np.testing.assert_array_equal(
+        np.asarray(state2.velocity), np.asarray(state.velocity)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state2.scalars["density"]), np.asarray(state.scalars["density"])
+    )
+
+
+def test_sparse_npz_roundtrip(tmp_path):
+    topo, state = _demo(capacity=16)
+    p = str(tmp_path / "sparse.npz")
+    save_sparse_npz(p, topo, state, frame=7)
+    topo2, state2, frame = load_sparse_npz(p, capacity=16)
+    assert frame == 7
+    np.testing.assert_array_equal(np.asarray(topo2.keys), np.asarray(topo.keys))
+    np.testing.assert_allclose(
+        np.asarray(state2.scalars["density"]), np.asarray(state.scalars["density"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.velocity), np.asarray(state.velocity)
+    )
+
+
+def test_render_and_png(tmp_path):
+    from hnanosolver_tpu.viewer.render import (
+        render_orthographic,
+        render_perspective,
+        write_png,
+    )
+
+    x, y, z = np.meshgrid(*(np.linspace(-1, 1, 32),) * 3, indexing="ij")
+    blob = np.exp(-(x**2 + y**2 + z**2) * 6).astype(np.float32)
+    img = render_orthographic(blob)
+    assert img.shape == (32, 32, 3)
+    # the blob should brighten the center relative to the corner
+    assert img[16, 16].sum() > img[0, 0].sum() + 0.1
+    img2 = render_perspective(blob, size=(24, 24), steps=32)
+    assert img2.shape == (24, 24, 3) and np.isfinite(img2).all()
+    p = str(tmp_path / "frame.png")
+    write_png(p, img)
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
