@@ -1,0 +1,139 @@
+"""Command-line runner — the standalone equivalent of the reference's SOP
+node surface (SURVEY §2.4): configure a scenario, run frames, write
+checkpoints and rendered previews.
+
+Usage:
+  python -m hnanosolver_tpu.cli plume --frames 24 --out out/ --render
+  python -m hnanosolver_tpu.cli resume --ckpt out/frame_0010.npz --frames 10
+  python -m hnanosolver_tpu.cli bench-report --frames 5
+
+Parameter names mirror the SOP DS file
+(`/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:21-88`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _add_solver_args(p: argparse.ArgumentParser):
+    p.add_argument("--timestep", type=float, default=1.0 / 24.0)
+    p.add_argument("--voxel-size", type=float, default=0.5)
+    p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--expansion-rate", type=float, default=0.1)
+    p.add_argument("--temperature-gain", type=float, default=0.5)
+    p.add_argument("--buoyancy-strength", type=float, default=1.0)
+    p.add_argument("--ambient-temp", type=float, default=23.0)
+    p.add_argument("--vorticity", type=float, default=1.0)
+    p.add_argument("--factor-scale", type=float, default=0.5)
+
+
+def _params(args):
+    from hnanosolver_tpu.config import CombustionParams, SolverParams
+
+    return SolverParams(
+        dt=args.timestep,
+        voxel_size=args.voxel_size,
+        iterations=args.iterations,
+        combustion=CombustionParams(
+            expansion_rate=args.expansion_rate,
+            temperature_release=args.temperature_gain,
+            buoyancy_strength=args.buoyancy_strength,
+            ambient_temp=args.ambient_temp,
+            vorticity_scale=args.vorticity,
+            factor_scale=args.factor_scale,
+        ),
+    )
+
+
+def cmd_plume(args):
+    import numpy as np
+
+    from hnanosolver_tpu.io.state import save_npz
+    from hnanosolver_tpu.models.plume import PlumeConfig, run_plume
+
+    params = _params(args)
+    cfg = PlumeConfig(
+        center=tuple(args.center),
+        radius=args.radius,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    view = tuple(args.view_box)
+
+    def on_frame(f, topo, state):
+        t0 = time.perf_counter()
+        if args.ckpt_every and (f + 1) % args.ckpt_every == 0:
+            save_npz(
+                os.path.join(args.out, f"frame_{f + 1:04d}.npz"),
+                topo, state, params, frame=f + 1,
+            )
+        if args.render and (f + 1) % args.render_every == 0:
+            from hnanosolver_tpu.viewer.render import render_state, write_png
+
+            img = render_state(topo, state, view)
+            write_png(os.path.join(args.out, f"frame_{f + 1:04d}.png"), img)
+        print(
+            f"frame {f + 1}/{args.frames}: {int(topo.n_active)} tiles "
+            f"({topo.num_voxels / 1e6:.2f} M voxels), io {time.perf_counter() - t0:.2f}s",
+            flush=True,
+        )
+
+    t0 = time.perf_counter()
+    topo, state = run_plume(args.frames, params=params, cfg=cfg, on_frame=on_frame)
+    print(f"done: {args.frames} frames in {time.perf_counter() - t0:.1f}s")
+
+
+def cmd_resume(args):
+    from hnanosolver_tpu.core.activation import expand_for_state
+    from hnanosolver_tpu.io.state import load_npz, save_npz
+    from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
+
+    topo, state, params, frame0 = load_npz(args.ckpt)
+    if params is None:
+        params = _params(args)
+    cfg = PlumeConfig(center=tuple(args.center), radius=args.radius)
+    out = args.out or os.path.dirname(args.ckpt) or "."
+    for f in range(frame0, frame0 + args.frames):
+        state = plume_step(topo, state, params, cfg)
+        topo, state = expand_for_state(topo, state)
+        print(f"frame {f + 1}: {int(topo.n_active)} tiles", flush=True)
+    save_npz(
+        os.path.join(out, f"frame_{frame0 + args.frames:04d}.npz"),
+        topo, state, params, frame=frame0 + args.frames,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hnanosolver_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("plume", help="run the rising-plume scenario")
+    _add_solver_args(p)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--center", type=float, nargs=3, default=[64.0, 16.0, 64.0])
+    p.add_argument("--radius", type=float, default=12.0)
+    p.add_argument("--out", default="out")
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--render-every", type=int, default=1)
+    p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
+    p.set_defaults(fn=cmd_plume)
+
+    p = sub.add_parser("resume", help="resume from an .npz checkpoint")
+    _add_solver_args(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--center", type=float, nargs=3, default=[64.0, 16.0, 64.0])
+    p.add_argument("--radius", type=float, default=12.0)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_resume)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
