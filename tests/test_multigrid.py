@@ -1,0 +1,111 @@
+"""Multigrid: restriction/prolongation layout invariants and V-cycle
+convergence vs plain red-black SOR at comparable work."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnanosolver_tpu.core.topology import (
+    active_mask,
+    build_topology_dense,
+    lookup_tiles,
+    voxel_positions,
+)
+from hnanosolver_tpu.ops import pressure as prs
+from hnanosolver_tpu.ops.multigrid import (
+    build_hierarchy,
+    prolong,
+    restrict,
+    solve_pressure_mg,
+    v_cycle,
+)
+
+
+def _l2(topo, x):
+    m = active_mask(topo)[:, None, None, None]
+    return float(jnp.sqrt(jnp.sum((x * m) ** 2)))
+
+
+def test_hierarchy_shapes():
+    topo = build_topology_dense((32, 32, 32))  # 4^3 = 64 fine tiles
+    hier = build_hierarchy(topo, 2)
+    assert int(hier[0].topo.n_active) == 8  # 2^3 coarse tiles
+    assert int(hier[1].topo.n_active) == 1
+    ch = np.asarray(hier[0].children)
+    # every active coarse tile has exactly 8 children here (dense box)
+    n = int(hier[0].topo.n_active)
+    assert np.all(ch[1 : n + 1] > 0)
+
+
+def test_restrict_prolong_constant_field():
+    topo = build_topology_dense((16, 16, 16))
+    hier = build_hierarchy(topo, 1)
+    m = active_mask(topo)[:, None, None, None]
+    f = jnp.ones((topo.capacity, 8, 8, 8)) * m
+    c = restrict(hier[0], f)
+    mc = jnp.broadcast_to(
+        active_mask(hier[0].topo)[:, None, None, None], c.shape
+    )
+    np.testing.assert_allclose(np.asarray(c * mc), np.asarray(mc), atol=1e-6)
+    back = prolong(hier[0], c, topo.capacity)
+    # prolong of restrict of constant = constant on active fine tiles
+    mf = jnp.broadcast_to(m, back.shape)
+    np.testing.assert_allclose(np.asarray(back * mf), np.asarray(mf), atol=1e-6)
+
+
+def test_restrict_positions():
+    """Restriction of the x-coordinate field averages to the coarse cell's
+    fine-x center: coarse voxel (I) covers fine [2I, 2I+1] -> mean 2I+0.5."""
+    topo = build_topology_dense((16, 16, 16))
+    hier = build_hierarchy(topo, 1)
+    pos = voxel_positions(topo).astype(jnp.float32)
+    fx = pos[..., 0] * active_mask(topo)[:, None, None, None]
+    c = restrict(hier[0], fx)
+    cpos = voxel_positions(hier[0].topo)
+    nc = int(hier[0].topo.n_active)
+    want = 2.0 * np.asarray(cpos[..., 0], np.float32) + 0.5
+    np.testing.assert_allclose(
+        np.asarray(c)[1 : nc + 1], want[1 : nc + 1], atol=1e-5
+    )
+
+
+def test_vcycle_beats_rbgs_at_same_work():
+    topo = build_topology_dense((32, 32, 32))
+    hier = build_hierarchy(topo, 2)
+    pos = voxel_positions(topo).astype(jnp.float32)
+    k = 2 * np.pi / 32.0
+    # smooth forcing (low frequency = worst case for plain RBGS)
+    div = jnp.sin(k * pos[..., 0]) * jnp.sin(k * pos[..., 1]) * jnp.sin(
+        k * pos[..., 2]
+    ) * active_mask(topo)[:, None, None, None]
+    dx = 0.25
+    # 3 V-cycles (~3*(2+2) fine sweeps + coarse work) vs 30 RBGS sweeps.
+    # Measured convergence ~0.3x residual per cycle with piecewise-constant
+    # prolongation (trilinear prolongation is the planned refinement).
+    p_mg = solve_pressure_mg(topo, hier, div, cycles=3, dx=dx, omega=1.0)
+    p_gs = prs.solve_pressure(topo, div, 30, dx, 1.0)
+    r_mg = _l2(topo, prs.residual(topo, p_mg, div, dx))
+    r_gs = _l2(topo, prs.residual(topo, p_gs, div, dx))
+    r0 = _l2(topo, div)
+    assert r_mg < 0.5 * r_gs, (r0, r_mg, r_gs)
+    assert r_mg < 0.1 * r0
+
+
+def test_vcycle_on_sparse_topology():
+    """V-cycle works when the fine tile set isn't a full box (odd children)."""
+    tiles = [(x, y, z) for x in range(3) for y in range(2) for z in range(3)
+             if (x + y + z) % 4 != 3]
+    from hnanosolver_tpu.core.topology import build_topology
+
+    topo = build_topology(np.array(tiles, np.int32))
+    hier = build_hierarchy(topo, 1)
+    rng = np.random.default_rng(3)
+    div = jnp.asarray(
+        rng.standard_normal((topo.capacity, 8, 8, 8)).astype(np.float32)
+    ) * active_mask(topo)[:, None, None, None]
+    dx = 0.25
+    p1 = solve_pressure_mg(topo, hier, div, cycles=1, dx=dx)
+    p3 = solve_pressure_mg(topo, hier, div, cycles=3, dx=dx)
+    r1 = _l2(topo, prs.residual(topo, p1, div, dx))
+    r3 = _l2(topo, prs.residual(topo, p3, div, dx))
+    assert r3 < r1  # more cycles converge further
+    assert np.isfinite(np.asarray(p3)).all()
