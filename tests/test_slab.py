@@ -1,0 +1,111 @@
+"""Slab decomposition: the shard_map + ppermute step must reproduce the
+single-device step exactly (same math, ghosts exchanged instead of gathered)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnanosolver_tpu.config import SolverParams
+from hnanosolver_tpu.core.topology import (
+    active_mask,
+    build_topology,
+    voxel_positions,
+)
+from hnanosolver_tpu.fields import zeros_state
+from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
+from hnanosolver_tpu.parallel.slab import (
+    build_slabs,
+    gather_state,
+    scatter_state,
+    sharded_plume_step,
+)
+
+
+def _random_sparse_topology(rng, n_layers=16):
+    """Sparse (non-box) topology spanning >= 8 x tile-layers."""
+    tiles = []
+    for x in range(n_layers):
+        for y in range(4):
+            for z in range(4):
+                if rng.random() < 0.75 or (y < 2 and z < 2):
+                    tiles.append((x, y, z))
+    return build_topology(np.array(tiles, np.int32))
+
+
+def _demo_state(topo, rng):
+    state = zeros_state(topo)
+    pos = voxel_positions(topo).astype(jnp.float32)
+    m = active_mask(topo)[:, None, None, None]
+    blob = jnp.exp(
+        -((pos[..., 0] - 40) ** 2 + (pos[..., 1] - 12) ** 2 + (pos[..., 2] - 12) ** 2)
+        / 40.0
+    ) * m
+    noise = jnp.asarray(
+        rng.standard_normal((topo.capacity, 8, 8, 8, 3)).astype(np.float32) * 0.3
+    ) * m[..., None]
+    return (
+        state.replace(velocity=noise)
+        .with_scalar("density", blob)
+        .with_scalar("temperature", (23.0 + 40.0 * blob) * m)  # keep null tile 0
+        .with_scalar("fuel", 0.4 * blob)
+    )
+
+
+@pytest.fixture
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devs[:4]), ("x",))
+
+
+def test_scatter_gather_roundtrip(rng, mesh):
+    topo = _random_sparse_topology(rng)
+    state = _demo_state(topo, rng)
+    slab = build_slabs(topo, 4)
+    stacked = scatter_state(topo, slab, state)
+    back = gather_state(topo, slab, stacked)
+    np.testing.assert_allclose(
+        np.asarray(back.velocity), np.asarray(state.velocity)
+    )
+    for k in state.scalars:
+        np.testing.assert_allclose(
+            np.asarray(back.scalars[k]), np.asarray(state.scalars[k]), err_msg=k
+        )
+
+
+def test_sharded_step_matches_single_device(rng, mesh):
+    topo = _random_sparse_topology(rng)
+    state = _demo_state(topo, rng)
+    params = SolverParams(dt=0.2, iterations=4, voxel_size=0.5)
+    cfg = PlumeConfig(center=(40.0, 12.0, 12.0), radius=6.0)
+
+    want = plume_step(topo, state, params, cfg)
+
+    slab = build_slabs(topo, 4)
+    stacked = scatter_state(topo, slab, state)
+    step = sharded_plume_step(mesh, slab, params, cfg)
+    out = step(slab, stacked)
+    got = gather_state(topo, slab, out)
+
+    m = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got.velocity)[m], np.asarray(want.velocity)[m],
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in want.scalars:
+        np.testing.assert_allclose(
+            np.asarray(got.scalars[k])[m], np.asarray(want.scalars[k])[m],
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_balanced_partition(rng):
+    topo = _random_sparse_topology(rng, n_layers=32)
+    slab = build_slabs(topo, 8)
+    owned = np.asarray(slab.local_mask).sum(axis=1)
+    assert owned.sum() == int(topo.n_active)
+    assert owned.min() > 0.5 * owned.mean()  # roughly balanced
