@@ -27,7 +27,7 @@ COLLISION_MARGIN = 0.1  # voxels; Kernel.cu:99
 
 def sdf_normal_field(topo: Topology, sdf: jax.Array, inv_dx: float) -> jax.Array:
     """Normalized SDF gradient at every active voxel, [T,8,8,8,3]."""
-    pad = gather_halo(topo, sdf)
+    pad = gather_halo(topo, sdf, faces_only=True)
     gx = (shift(pad, 1, 0, 0) - shift(pad, -1, 0, 0)) * (0.5 * inv_dx)
     gy = (shift(pad, 0, 1, 0) - shift(pad, 0, -1, 0)) * (0.5 * inv_dx)
     gz = (shift(pad, 0, 0, 1) - shift(pad, 0, 0, -1)) * (0.5 * inv_dx)

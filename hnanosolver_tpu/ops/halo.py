@@ -34,12 +34,19 @@ def _dst(o: int, r: int) -> slice:
     return {-1: slice(0, r), 0: slice(r, r + 8), 1: slice(r + 8, r + 8 + r)}[o]
 
 
-def gather_halo(topo: Topology, field: jax.Array, radius: int = 1) -> jax.Array:
+def gather_halo(
+    topo: Topology, field: jax.Array, radius: int = 1, faces_only: bool = False
+) -> jax.Array:
     """[T, 8, 8, 8, *ch] -> [T, 8+2r, 8+2r, 8+2r, *ch] with an r-voxel halo
-    from the 26 neighbor tiles (r <= 8: everything needed lives in the
+    from the neighbor tiles (r <= 8: everything needed lives in the
     27-neighborhood). All data movement is contiguous row gathers over the
     tile axis — the fast path on TPU; per-element gathers are avoided
-    entirely (they lower catastrophically, ~16M elem/s measured)."""
+    entirely (they lower catastrophically, ~16M elem/s measured).
+
+    ``faces_only`` gathers just the 6 face neighbors — enough for every
+    7-point stencil (pressure Laplacian, divergence, gradient, curl), at a
+    quarter of the gather count; edge/corner halo cells stay zero and must
+    not be read."""
     r = radius
     assert 1 <= r <= 8
     T = field.shape[0]
@@ -49,8 +56,11 @@ def gather_halo(topo: Topology, field: jax.Array, radius: int = 1) -> jax.Array:
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
+                nz = (ox != 0) + (oy != 0) + (oz != 0)
+                if faces_only and nz > 1:
+                    continue
                 sub = field[:, _src(ox, r), _src(oy, r), _src(oz, r)]
-                if (ox, oy, oz) == (0, 0, 0):
+                if nz == 0:
                     vals = sub
                 else:
                     d = (ox + 1) * 9 + (oy + 1) * 3 + (oz + 1)

@@ -35,7 +35,8 @@ def _parity(topo: Topology) -> jax.Array:
 
 
 def _neighbor_sum(topo: Topology, p: jax.Array) -> jax.Array:
-    pad = gather_halo(topo, p)
+    # 7-point stencil: face neighbors only (6 row-gathers, not 26)
+    pad = gather_halo(topo, p, faces_only=True)
     return (
         shift(pad, 1, 0, 0)
         + shift(pad, -1, 0, 0)

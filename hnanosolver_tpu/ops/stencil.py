@@ -29,7 +29,7 @@ def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
     0.5*(u_c + u_nbr) on both sides and difference them, scaled by 1/dx —
     the reference's scheme (`Kernel.cu:511-518`), which reduces to the plain
     central difference (u_{+1} - u_{-1}) / (2 dx) per axis."""
-    pad = gather_halo(topo, vel)  # [T,10,10,10,3]
+    pad = gather_halo(topo, vel, faces_only=True)  # [T,10,10,10,3]
     c = center(pad)
     xp = 0.5 * (c[..., 0] + shift(pad, 1, 0, 0)[..., 0])
     xm = 0.5 * (c[..., 0] + shift(pad, -1, 0, 0)[..., 0])
@@ -42,7 +42,7 @@ def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
 
 def pressure_gradient(topo: Topology, p: jax.Array, inv_dx: float) -> jax.Array:
     """grad(p) at cell centers via central differences, (p_{+1}-p_{-1})/(2dx)."""
-    pad = gather_halo(topo, p)
+    pad = gather_halo(topo, p, faces_only=True)
     gx = (shift(pad, 1, 0, 0) - shift(pad, -1, 0, 0)) * (0.5 * inv_dx)
     gy = (shift(pad, 0, 1, 0) - shift(pad, 0, -1, 0)) * (0.5 * inv_dx)
     gz = (shift(pad, 0, 0, 1) - shift(pad, 0, 0, -1)) * (0.5 * inv_dx)
@@ -87,7 +87,7 @@ def vorticity_confinement(
     s = int(factor_scale)
     factor = 0.5 * inv_dx
 
-    pad = gather_halo(topo, vel)
+    pad = gather_halo(topo, vel, faces_only=True)
     omega = _curl_from_pad(pad, factor)  # [T,8,8,8,3]
 
     if s == 0:
