@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from hnanosolver_tpu.core.topology import Topology
-from hnanosolver_tpu.ops.halo import gather_halo, shift
+from hnanosolver_tpu.ops.halo import face_shift_views, gather_halo, shift
 from hnanosolver_tpu.ops.sampling import sample_trilinear
 
 COLLISION_MARGIN = 0.1  # voxels; Kernel.cu:99
@@ -27,10 +27,10 @@ COLLISION_MARGIN = 0.1  # voxels; Kernel.cu:99
 
 def sdf_normal_field(topo: Topology, sdf: jax.Array, inv_dx: float) -> jax.Array:
     """Normalized SDF gradient at every active voxel, [T,8,8,8,3]."""
-    pad = gather_halo(topo, sdf, faces_only=True)
-    gx = (shift(pad, 1, 0, 0) - shift(pad, -1, 0, 0)) * (0.5 * inv_dx)
-    gy = (shift(pad, 0, 1, 0) - shift(pad, 0, -1, 0)) * (0.5 * inv_dx)
-    gz = (shift(pad, 0, 0, 1) - shift(pad, 0, 0, -1)) * (0.5 * inv_dx)
+    v = face_shift_views(topo, sdf)
+    gx = (v[(1, 0, 0)] - v[(-1, 0, 0)]) * (0.5 * inv_dx)
+    gy = (v[(0, 1, 0)] - v[(0, -1, 0)]) * (0.5 * inv_dx)
+    gz = (v[(0, 0, 1)] - v[(0, 0, -1)]) * (0.5 * inv_dx)
     g = jnp.stack([gx, gy, gz], axis=-1)
     glen = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
     return jnp.where(glen > 1e-6, g / jnp.maximum(glen, 1e-30), 0.0)

@@ -69,6 +69,46 @@ def gather_halo(
     return pad
 
 
+def face_shift_views(topo: Topology, field: jax.Array):
+    """The six +-1 face-shifted views of a field WITHOUT materializing a
+    padded buffer: each view = concat(in-tile slice, gathered neighbor face
+    plane). XLA fuses the concats into the consuming elementwise op, so a
+    7-point stencil costs 6 small row-gathers (~1/4 tile each) plus one fused
+    loop — the leanest formulation measured on TPU.
+
+    Returns a dict {(dx,dy,dz): view} with views shaped like ``field``.
+    """
+    nbr = topo.nbr
+
+    def take_face(sub, d):
+        return jnp.take(sub, nbr[:, d], axis=0)
+
+    d_of = lambda ox, oy, oz: (ox + 1) * 9 + (oy + 1) * 3 + (oz + 1)
+    out = {}
+    # +x: shift(+1,0,0)[i] = field[i+1]; i=7 comes from +x neighbor's x=0 plane
+    out[(1, 0, 0)] = jnp.concatenate(
+        [field[:, 1:8], take_face(field[:, 0:1], d_of(1, 0, 0))], axis=1
+    )
+    out[(-1, 0, 0)] = jnp.concatenate(
+        [take_face(field[:, 7:8], d_of(-1, 0, 0)), field[:, 0:7]], axis=1
+    )
+    out[(0, 1, 0)] = jnp.concatenate(
+        [field[:, :, 1:8], take_face(field[:, :, 0:1], d_of(0, 1, 0))], axis=2
+    )
+    out[(0, -1, 0)] = jnp.concatenate(
+        [take_face(field[:, :, 7:8], d_of(0, -1, 0)), field[:, :, 0:7]], axis=2
+    )
+    out[(0, 0, 1)] = jnp.concatenate(
+        [field[:, :, :, 1:8], take_face(field[:, :, :, 0:1], d_of(0, 0, 1))],
+        axis=3,
+    )
+    out[(0, 0, -1)] = jnp.concatenate(
+        [take_face(field[:, :, :, 7:8], d_of(0, 0, -1)), field[:, :, :, 0:7]],
+        axis=3,
+    )
+    return out
+
+
 def center(pad: jax.Array) -> jax.Array:
     """The un-padded 8^3 interior of a halo array (any radius)."""
     r = (pad.shape[1] - 8) // 2

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from hnanosolver_tpu.core import coords as C
 from hnanosolver_tpu.core.topology import Topology, voxel_positions
-from hnanosolver_tpu.ops.halo import gather_halo, shift
+from hnanosolver_tpu.ops.halo import face_shift_views, gather_halo, shift
 
 
 def _parity(topo: Topology) -> jax.Array:
@@ -35,15 +35,13 @@ def _parity(topo: Topology) -> jax.Array:
 
 
 def _neighbor_sum(topo: Topology, p: jax.Array) -> jax.Array:
-    # 7-point stencil: face neighbors only (6 row-gathers, not 26)
-    pad = gather_halo(topo, p, faces_only=True)
+    # 7-point stencil as fused shifted views: 6 small row-gathers, no padded
+    # buffer materialization (ops/halo.face_shift_views).
+    v = face_shift_views(topo, p)
     return (
-        shift(pad, 1, 0, 0)
-        + shift(pad, -1, 0, 0)
-        + shift(pad, 0, 1, 0)
-        + shift(pad, 0, -1, 0)
-        + shift(pad, 0, 0, 1)
-        + shift(pad, 0, 0, -1)
+        v[(1, 0, 0)] + v[(-1, 0, 0)]
+        + v[(0, 1, 0)] + v[(0, -1, 0)]
+        + v[(0, 0, 1)] + v[(0, 0, -1)]
     )
 
 

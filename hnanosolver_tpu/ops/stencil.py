@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from hnanosolver_tpu.core.topology import Topology, voxel_positions
-from hnanosolver_tpu.ops.halo import center, gather_halo, shift
+from hnanosolver_tpu.ops.halo import center, face_shift_views, gather_halo, shift
 from hnanosolver_tpu.ops.sampling import sample_nearest
 
 
@@ -29,23 +29,20 @@ def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
     0.5*(u_c + u_nbr) on both sides and difference them, scaled by 1/dx —
     the reference's scheme (`Kernel.cu:511-518`), which reduces to the plain
     central difference (u_{+1} - u_{-1}) / (2 dx) per axis."""
-    pad = gather_halo(topo, vel, faces_only=True)  # [T,10,10,10,3]
-    c = center(pad)
-    xp = 0.5 * (c[..., 0] + shift(pad, 1, 0, 0)[..., 0])
-    xm = 0.5 * (c[..., 0] + shift(pad, -1, 0, 0)[..., 0])
-    yp = 0.5 * (c[..., 1] + shift(pad, 0, 1, 0)[..., 1])
-    ym = 0.5 * (c[..., 1] + shift(pad, 0, -1, 0)[..., 1])
-    zp = 0.5 * (c[..., 2] + shift(pad, 0, 0, 1)[..., 2])
-    zm = 0.5 * (c[..., 2] + shift(pad, 0, 0, -1)[..., 2])
-    return (xp - xm + yp - ym + zp - zm) * inv_dx
+    v = face_shift_views(topo, vel)
+    return (
+        (v[(1, 0, 0)][..., 0] - v[(-1, 0, 0)][..., 0])
+        + (v[(0, 1, 0)][..., 1] - v[(0, -1, 0)][..., 1])
+        + (v[(0, 0, 1)][..., 2] - v[(0, 0, -1)][..., 2])
+    ) * (0.5 * inv_dx)
 
 
 def pressure_gradient(topo: Topology, p: jax.Array, inv_dx: float) -> jax.Array:
     """grad(p) at cell centers via central differences, (p_{+1}-p_{-1})/(2dx)."""
-    pad = gather_halo(topo, p, faces_only=True)
-    gx = (shift(pad, 1, 0, 0) - shift(pad, -1, 0, 0)) * (0.5 * inv_dx)
-    gy = (shift(pad, 0, 1, 0) - shift(pad, 0, -1, 0)) * (0.5 * inv_dx)
-    gz = (shift(pad, 0, 0, 1) - shift(pad, 0, 0, -1)) * (0.5 * inv_dx)
+    v = face_shift_views(topo, p)
+    gx = (v[(1, 0, 0)] - v[(-1, 0, 0)]) * (0.5 * inv_dx)
+    gy = (v[(0, 1, 0)] - v[(0, -1, 0)]) * (0.5 * inv_dx)
+    gz = (v[(0, 0, 1)] - v[(0, 0, -1)]) * (0.5 * inv_dx)
     return jnp.stack([gx, gy, gz], axis=-1)
 
 
@@ -58,11 +55,11 @@ def subtract_pressure_gradient(
     return vel - pressure_gradient(topo, p, inv_dx)
 
 
-def _curl_from_pad(pad: jax.Array, factor: float) -> jax.Array:
-    """Vorticity omega = curl(u) from a velocity halo; factor = 0.5/dx."""
-    upx, umx = shift(pad, 1, 0, 0), shift(pad, -1, 0, 0)
-    upy, umy = shift(pad, 0, 1, 0), shift(pad, 0, -1, 0)
-    upz, umz = shift(pad, 0, 0, 1), shift(pad, 0, 0, -1)
+def _curl_from_views(v6, factor: float) -> jax.Array:
+    """Vorticity omega = curl(u) from face-shifted views; factor = 0.5/dx."""
+    upx, umx = v6[(1, 0, 0)], v6[(-1, 0, 0)]
+    upy, umy = v6[(0, 1, 0)], v6[(0, -1, 0)]
+    upz, umz = v6[(0, 0, 1)], v6[(0, 0, -1)]
     wx = ((upy[..., 2] - umy[..., 2]) - (upz[..., 1] - umz[..., 1])) * factor
     wy = ((upz[..., 0] - umz[..., 0]) - (upx[..., 2] - umx[..., 2])) * factor
     wz = ((upx[..., 1] - umx[..., 1]) - (upy[..., 0] - umy[..., 0])) * factor
@@ -87,8 +84,8 @@ def vorticity_confinement(
     s = int(factor_scale)
     factor = 0.5 * inv_dx
 
-    pad = gather_halo(topo, vel, faces_only=True)
-    omega = _curl_from_pad(pad, factor)  # [T,8,8,8,3]
+    v6 = face_shift_views(topo, vel)
+    omega = _curl_from_views(v6, factor)  # [T,8,8,8,3]
 
     if s == 0:
         grad = jnp.zeros_like(omega)
