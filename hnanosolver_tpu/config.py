@@ -39,6 +39,14 @@ class SolverParams:
     dt: float = 1.0 / 24.0
     voxel_size: float = 0.5
     iterations: int = 20  # pressure red-black Gauss-Seidel sweeps
+    # pressure solver selection: "rbgs" = the reference's red-black SOR loop;
+    # "mg" = multigrid V-cycles (ops/multigrid.py — the reference's declared
+    # but never-implemented design). With "mg", ``iterations`` is the number
+    # of V-cycles and a hierarchy must be passed to step().
+    pressure_solver: str = "rbgs"
+    mg_pre: int = 2  # pre-smoothing sweeps per level
+    mg_post: int = 2  # post-smoothing sweeps per level
+    mg_coarsest: int = 24  # sweeps at the coarsest level
     combustion: CombustionParams = dataclasses.field(default_factory=CombustionParams)
     has_collision: bool = False
     # Documented deviations from the reference (SURVEY §7.5):

@@ -55,8 +55,16 @@ def _require_combustion_fields(state: FieldState):
 
 
 @partial(jax.jit, static_argnames=("params",))
-def step(topo: Topology, state: FieldState, params: SolverParams) -> FieldState:
-    """One full simulation step. Pure function: state in, state out."""
+def step(
+    topo: Topology,
+    state: FieldState,
+    params: SolverParams,
+    hierarchy: tuple = (),
+) -> FieldState:
+    """One full simulation step. Pure function: state in, state out.
+
+    ``hierarchy``: coarse levels from ``ops.multigrid.build_hierarchy`` when
+    ``params.pressure_solver == "mg"`` (tuple so it stays a pytree)."""
     _require_combustion_fields(state)
     c = params.combustion
     inv_dx = params.inv_voxel_size
@@ -93,7 +101,18 @@ def step(topo: Topology, state: FieldState, params: SolverParams) -> FieldState:
     )
 
     # 5. pressure solve + projection
-    p = prs.solve_pressure(topo, div, params.iterations, params.voxel_size, params.omega)
+    if params.pressure_solver == "mg" and hierarchy:
+        from hnanosolver_tpu.ops.multigrid import solve_pressure_mg
+
+        p = solve_pressure_mg(
+            topo, list(hierarchy), div, params.iterations, params.voxel_size,
+            params.omega, n_pre=params.mg_pre, n_post=params.mg_post,
+            n_coarsest=params.mg_coarsest,
+        )
+    else:
+        p = prs.solve_pressure(
+            topo, div, params.iterations, params.voxel_size, params.omega
+        )
     vel_out = stn.subtract_pressure_gradient(topo, u_star, p, inv_dx)
     if sdf is not None:
         # subtractPressureGradient's collision tail (Kernel.cu:808-826)

@@ -109,3 +109,27 @@ def test_vcycle_on_sparse_topology():
     r3 = _l2(topo, prs.residual(topo, p3, div, dx))
     assert r3 < r1  # more cycles converge further
     assert np.isfinite(np.asarray(p3)).all()
+
+
+def test_step_with_mg_pressure():
+    """Full step with pressure_solver='mg' runs and is finite."""
+    import jax.numpy as jnp
+
+    from hnanosolver_tpu.config import SolverParams
+    from hnanosolver_tpu.fields import zeros_state
+    from hnanosolver_tpu.solver import step
+    from hnanosolver_tpu.ops.multigrid import build_hierarchy
+
+    topo = build_topology_dense((16, 16, 16))
+    hier = tuple(build_hierarchy(topo, 1))
+    state = zeros_state(topo)
+    pos = voxel_positions(topo).astype(jnp.float32)
+    m = active_mask(topo)[:, None, None, None]
+    blob = jnp.exp(-((pos[..., 0] - 8) ** 2 + (pos[..., 1] - 4) ** 2) / 9.0) * m
+    state = state.with_scalar("density", blob).with_scalar(
+        "temperature", (23.0 + 40 * blob) * m
+    )
+    params = SolverParams(dt=0.25, iterations=2, pressure_solver="mg", voxel_size=0.25)
+    out = step(topo, state, params, hierarchy=hier)
+    assert np.isfinite(np.asarray(out.velocity)).all()
+    assert float(jnp.max(out.velocity[..., 1])) > 0  # buoyancy acted
