@@ -35,11 +35,11 @@ def occupied_tile_mask(
     Velocity counts via its max |component|; collision_sdf does not count
     (solids don't drive topology in the reference either — the SDF is
     unioned separately by the caller if desired)."""
-    occ = jnp.max(jnp.abs(state.velocity), axis=(1, 2, 3, 4))
+    occ = jnp.max(jnp.abs(state.velocity), axis=(0, 2))  # [3,T,512] -> [T]
     for name, f in state.scalars.items():
         if name == COLLISION_FIELD:
             continue
-        occ = jnp.maximum(occ, jnp.max(jnp.abs(f), axis=(1, 2, 3)))
+        occ = jnp.maximum(occ, jnp.max(jnp.abs(f), axis=1))  # [T,512] -> [T]
     ids = jax.lax.broadcasted_iota(jnp.int32, (topo.capacity, 1), 0)[:, 0]
     active = (ids >= 1) & (ids <= topo.n_active)
     return active & (occ > threshold)
@@ -101,7 +101,7 @@ def remap_state(old: Topology, new: Topology, state: FieldState) -> FieldState:
     jit-friendly when capacities match)."""
     rows = remap_rows(old, new)
     return FieldState(
-        velocity=jnp.take(state.velocity, rows, axis=0),
+        velocity=jnp.take(state.velocity, rows, axis=1),
         scalars={k: jnp.take(v, rows, axis=0) for k, v in state.scalars.items()},
     )
 

@@ -2,10 +2,16 @@
 
 The reference stores one coord array plus N named SoA value blocks
 (`/root/reference/src/Utils/GridData.hpp:16-166`), dense per 8^3 leaf
-(``totalVoxels = numLeaves * 512``). Here each scalar field is a
-``[T, 8, 8, 8]`` float32 array and velocity is ``[T, 8, 8, 8, 3]``, where
-``T`` is the topology capacity; row 0 (null tile) and padding rows are kept
-identically zero as an invariant all samplers rely on.
+(``totalVoxels = numLeaves * 512``). Here fields live in the TPU-canonical
+flat layout (core/layout.py):
+
+- scalar fields: ``[T, 512]`` float32 (x-major in-tile order),
+- velocity:      ``[3, T, 512]`` float32 (channel-major),
+
+where ``T`` is the topology capacity; row 0 (null tile) and padding rows are
+kept identically zero — an invariant every sampler relies on. Block views
+``[T,8,8,8]`` / ``[T,8,8,8,3]`` are available at API boundaries via
+``scalar_blocks`` / ``velocity_blocks``.
 
 FieldState is a pytree, so it passes through jit/shard_map/scan unchanged.
 """
@@ -18,7 +24,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from hnanosolver_tpu.core import coords as C
+from hnanosolver_tpu.core import layout as L
 from hnanosolver_tpu.core.topology import Topology, active_mask
 
 COMBUSTION_FIELDS = ("fuel", "waste", "temperature", "flame")
@@ -28,7 +34,7 @@ COLLISION_FIELD = "collision_sdf"
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class FieldState:
-    """velocity [T,8,8,8,3] + named scalar fields [T,8,8,8]."""
+    """velocity [3,T,512] + named scalar fields [T,512]."""
 
     velocity: jax.Array
     scalars: Dict[str, jax.Array]
@@ -53,10 +59,27 @@ class FieldState:
 
     @property
     def capacity(self) -> int:
-        return self.velocity.shape[0]
+        return self.velocity.shape[1]
 
     def sdf(self) -> Optional[jax.Array]:
         return self.scalars.get(COLLISION_FIELD)
+
+    # -- block-layout views (API boundaries: I/O, tests, conversion) -------
+    def scalar_blocks(self, name: str) -> jax.Array:
+        return L.scalar_to_blocks(self.scalars[name])
+
+    def velocity_blocks(self) -> jax.Array:
+        return L.vec_to_blocks(self.velocity)
+
+    @classmethod
+    def from_blocks(cls, velocity_blocks, scalar_blocks: Dict[str, jax.Array]):
+        return cls(
+            velocity=L.vec_from_blocks(jnp.asarray(velocity_blocks)),
+            scalars={
+                k: L.scalar_from_blocks(jnp.asarray(v))
+                for k, v in scalar_blocks.items()
+            },
+        )
 
 
 def zeros_state(
@@ -68,20 +91,19 @@ def zeros_state(
     four combustion fields to exist even for pure smoke
     (`/root/reference/src/Cuda/HNanoSolver.cu:193-201`); we keep the same
     contract for the full step."""
-    T, L = topo.capacity, C.LEAF
+    T = topo.capacity
     return FieldState(
-        velocity=jnp.zeros((T, L, L, L, 3), dtype),
-        scalars={n: jnp.zeros((T, L, L, L), dtype) for n in scalar_names},
+        velocity=jnp.zeros((3, T, L.TILE), dtype),
+        scalars={n: jnp.zeros((T, L.TILE), dtype) for n in scalar_names},
     )
 
 
 def mask_state(topo: Topology, state: FieldState) -> FieldState:
     """Zero out null/padding tile rows, restoring the background invariant."""
-    m = active_mask(topo)
-    mv = m[:, None, None, None]
+    m = active_mask(topo)[:, None]  # [T,1]
     return FieldState(
-        velocity=state.velocity * mv[..., None],
-        scalars={k: v * mv for k, v in state.scalars.items()},
+        velocity=state.velocity * m[None],
+        scalars={k: v * m for k, v in state.scalars.items()},
     )
 
 

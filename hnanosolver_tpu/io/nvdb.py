@@ -395,7 +395,7 @@ def write_state_nvdb(out_dir: str, topo, state, voxel_size: float = 1.0,
     paths = []
     os.makedirs(out_dir, exist_ok=True)
 
-    vel = np.asarray(state.velocity)[1 : n + 1]
+    vel = np.asarray(state.velocity_blocks())[1 : n + 1]
     p = os.path.join(out_dir, f"velocity{suffix}.nvdb")
     write_nvdb(p, origins, vel, name="velocity", voxel_size=voxel_size,
                grid_class="staggered")
@@ -403,7 +403,7 @@ def write_state_nvdb(out_dir: str, topo, state, voxel_size: float = 1.0,
     for name, f in state.scalars.items():
         if fields is not None and name not in fields:
             continue
-        arr = np.asarray(f)[1 : n + 1]
+        arr = np.asarray(state.scalar_blocks(name))[1 : n + 1]
         p = os.path.join(out_dir, f"{name}{suffix}.nvdb")
         write_nvdb(p, origins, arr, name=name, voxel_size=voxel_size,
                    grid_class="level_set" if name == "collision_sdf" else "fog")
@@ -438,15 +438,19 @@ def read_nvdb_to_state(paths):
         out[0] = 0
         return jnp.asarray(out)
 
-    velocity = None
-    scalars = {}
+    velocity_blocks = None
+    scalar_blocks = {}
     for name, (o, v) in grids.items():
         arr = to_rows(o, v)
         if v.ndim == 5:
-            velocity = arr
+            velocity_blocks = arr
         else:
-            scalars[name] = arr
-    if velocity is None:
+            scalar_blocks[name] = arr
+    if velocity_blocks is None:
         T = topo.capacity
-        velocity = jnp.zeros((T, 8, 8, 8, 3), jnp.float32)
-    return topo, FieldState(velocity=velocity, scalars=scalars), voxel_size
+        velocity_blocks = jnp.zeros((T, 8, 8, 8, 3), jnp.float32)
+    return (
+        topo,
+        FieldState.from_blocks(velocity_blocks, scalar_blocks),
+        voxel_size,
+    )

@@ -27,7 +27,7 @@ from hnanosolver_tpu.config import CombustionParams, SolverParams
 from hnanosolver_tpu.core.topology import Topology, build_topology
 from hnanosolver_tpu.fields import FieldState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: flat layout (scalars [T,512], velocity [3,T,512])
 
 
 def save_npz(path: str, topo: Topology, state: FieldState,
@@ -85,7 +85,7 @@ def save_sparse_npz(path: str, topo: Topology, state: FieldState,
     origins = np.asarray(topo.origins)[1 : n + 1]
     coords = NT.tile_coords(origins)  # [n*512, 3]
     arrays = {"coords": coords}
-    vel = np.asarray(state.velocity)[1 : n + 1].reshape(-1, 3)
+    vel = np.asarray(state.velocity_blocks())[1 : n + 1].reshape(-1, 3)
     arrays["velocity"] = vel
     names = []
     for k, v in state.scalars.items():
@@ -107,13 +107,11 @@ def load_sparse_npz(path: str, capacity: Optional[int] = None):
         num_rows = topo.capacity
         # NT row ids are 1..M in sorted-key order == topology rows 1..M
         vel_t = NT.scatter(row, local, z["velocity"], num_rows, channels=3)
-        state = FieldState(
-            velocity=jnp.asarray(vel_t.reshape(num_rows, 8, 8, 8, 3)),
-            scalars={
-                k: jnp.asarray(
-                    NT.scatter(row, local, z[f"scalar_{k}"], num_rows).reshape(
-                        num_rows, 8, 8, 8
-                    )
+        state = FieldState.from_blocks(
+            vel_t.reshape(num_rows, 8, 8, 8, 3),
+            {
+                k: NT.scatter(row, local, z[f"scalar_{k}"], num_rows).reshape(
+                    num_rows, 8, 8, 8
                 )
                 for k in meta["scalar_names"]
             },

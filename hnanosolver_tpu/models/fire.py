@@ -17,11 +17,11 @@ import numpy as np
 from hnanosolver_tpu.config import CombustionParams, SolverParams
 from hnanosolver_tpu.core import coords as C
 from hnanosolver_tpu.core.activation import expand_for_state
+from hnanosolver_tpu.core.layout import positions_flat
 from hnanosolver_tpu.core.topology import (
     Topology,
     active_mask,
     build_topology,
-    voxel_positions,
 )
 from hnanosolver_tpu.fields import FieldState, zeros_state
 from hnanosolver_tpu.solver import step
@@ -72,14 +72,12 @@ def initial(cfg: FireConfig, capacity: Optional[int] = None):
 
 
 def emit(topo: Topology, state: FieldState, cfg: FireConfig, dt: float) -> FieldState:
-    pos = voxel_positions(topo).astype(jnp.float32)
-    dx = pos[..., 0] - cfg.center[0]
-    dz = pos[..., 2] - cfg.center[2]
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    dx = px - cfg.center[0]
+    dz = pz - cfg.center[2]
     r2 = dx * dx + dz * dz
-    in_disk = (r2 < cfg.radius**2) & (
-        jnp.abs(pos[..., 1] - cfg.center[1]) < cfg.height
-    )
-    inside = in_disk.astype(jnp.float32) * active_mask(topo)[:, None, None, None]
+    in_disk = (r2 < cfg.radius**2) & (jnp.abs(py - cfg.center[1]) < cfg.height)
+    inside = in_disk.astype(jnp.float32) * active_mask(topo)[:, None]
 
     s = dict(state.scalars)
     s["fuel"] = jnp.minimum(s["fuel"] + inside * (cfg.fuel_rate * dt), 1.0)
@@ -88,8 +86,8 @@ def emit(topo: Topology, state: FieldState, cfg: FireConfig, dt: float) -> Field
     # swirl seed: tangential velocity around the burner axis
     rinv = jax.lax.rsqrt(r2 + 1.0)
     vel = state.velocity
-    vel = vel.at[..., 0].add(inside * cfg.swirl * (-dz) * rinv * dt)
-    vel = vel.at[..., 2].add(inside * cfg.swirl * dx * rinv * dt)
+    vel = vel.at[0].add(inside * cfg.swirl * (-dz) * rinv * dt)
+    vel = vel.at[2].add(inside * cfg.swirl * dx * rinv * dt)
     return FieldState(velocity=vel, scalars=s)
 
 

@@ -20,11 +20,11 @@ import numpy as np
 from hnanosolver_tpu.config import SolverParams
 from hnanosolver_tpu.core import coords as C
 from hnanosolver_tpu.core.activation import expand_for_state
+from hnanosolver_tpu.core.layout import positions_flat
 from hnanosolver_tpu.core.topology import (
     Topology,
     active_mask,
     build_topology,
-    voxel_positions,
 )
 from hnanosolver_tpu.fields import FieldState, zeros_state
 from hnanosolver_tpu.solver import step
@@ -67,11 +67,15 @@ def initial_state(topo: Topology) -> FieldState:
 
 
 def emit(topo: Topology, state: FieldState, cfg: PlumeConfig, dt: float) -> FieldState:
-    """Additive sourcing inside the emitter sphere (device-side, jit-safe)."""
-    pos = voxel_positions(topo).astype(jnp.float32)
-    d2 = jnp.sum((pos - jnp.asarray(cfg.center)) ** 2, axis=-1)
-    inside = (d2 < cfg.radius**2).astype(jnp.float32)
-    inside = inside * active_mask(topo)[:, None, None, None]
+    """Additive sourcing inside the emitter sphere (device-side, jit-safe).
+    Flat layout: positions as three [T,512] arrays."""
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    d2 = (
+        (px - cfg.center[0]) ** 2
+        + (py - cfg.center[1]) ** 2
+        + (pz - cfg.center[2]) ** 2
+    )
+    inside = (d2 < cfg.radius**2).astype(jnp.float32) * active_mask(topo)[:, None]
 
     s = dict(state.scalars)
     s["density"] = s["density"] + inside * (cfg.density_rate * dt)
@@ -82,8 +86,8 @@ def emit(topo: Topology, state: FieldState, cfg: PlumeConfig, dt: float) -> Fiel
         jnp.maximum(s["temperature"], cfg.temperature_target),
         s["temperature"],
     )
-    vel = state.velocity.at[..., 1].set(
-        jnp.where(inside > 0, cfg.velocity_jet, state.velocity[..., 1])
+    vel = state.velocity.at[1].set(
+        jnp.where(inside > 0, cfg.velocity_jet, state.velocity[1])
     )
     return FieldState(velocity=vel, scalars=s)
 

@@ -50,6 +50,7 @@ def temperature_buoyancy(
     ambient_temp: float,
     buoyancy_strength: float,
 ) -> jax.Array:
-    """Add upward buoyancy where T exceeds ambient (y-up, like the reference)."""
+    """Add upward buoyancy where T exceeds ambient (y-up, like the reference).
+    vel is channel-major [3,T,512]."""
     lift = jnp.maximum(0.0, temperature - ambient_temp) * buoyancy_strength * dt
-    return vel.at[..., 1].add(lift)
+    return vel.at[1].add(lift)

@@ -90,24 +90,24 @@ def build_hierarchy(topo: Topology, levels: int) -> List[MGLevel]:
 
 
 def restrict(level: MGLevel, fine: jax.Array) -> jax.Array:
-    """[Tf,8,8,8] -> [Tc,8,8,8]: average 2x2x2 fine voxels, assemble the 8
-    child tiles into the coarse tile's octants."""
+    """[Tf,512] -> [Tc,512] (flat layout): average 2x2x2 fine voxels,
+    assemble the 8 child tiles into the coarse tile's octants."""
     Tf = fine.shape[0]
-    # per-fine-tile 2x downsample -> [Tf,4,4,4]
+    # per-fine-tile 2x downsample -> [Tf,4,4,4] (flat order == block order)
     avg = fine.reshape(Tf, 4, 2, 4, 2, 4, 2).mean(axis=(2, 4, 6))
     Tc = level.children.shape[0]
     # gather children [Tc, 8, 4,4,4] (row gathers; absent -> null tile zeros)
     ch = jnp.take(avg, level.children.reshape(-1), axis=0).reshape(Tc, 2, 2, 2, 4, 4, 4)
     # octant (cx,cy,cz) occupies coarse[cx*4:(cx+1)*4, ...]
     out = jnp.moveaxis(ch, (1, 2, 3), (1, 3, 5))  # [Tc, 2,4, 2,4, 2,4]
-    return out.reshape(Tc, 8, 8, 8)
+    return out.reshape(Tc, 512)
 
 
 def prolong(level: MGLevel, coarse: jax.Array, fine_capacity: int) -> jax.Array:
-    """[Tc,8,8,8] -> [Tf,8,8,8]: pick each fine tile's 4^3 octant of its
-    parent and upsample 2x (piecewise constant)."""
+    """[Tc,512] -> [Tf,512] (flat layout): pick each fine tile's 4^3 octant
+    of its parent and upsample 2x (piecewise constant)."""
     # parent rows + octant slices; gather parent tiles per fine tile
-    par = jnp.take(coarse, level.parent, axis=0)  # [Tf,8,8,8]
+    par = jnp.take(coarse, level.parent, axis=0).reshape(-1, 8, 8, 8)
     # slice the octant: offsets 0 or 4 per axis
     ox = (level.octant >> 2) & 1
     oy = (level.octant >> 1) & 1
@@ -120,7 +120,7 @@ def prolong(level: MGLevel, coarse: jax.Array, fine_capacity: int) -> jax.Array:
     blk = jnp.take_along_axis(blk, iy[:, None, :, None], axis=2)
     blk = jnp.take_along_axis(blk, iz[:, None, None, :], axis=3)  # [Tf,4,4,4]
     up = jnp.repeat(jnp.repeat(jnp.repeat(blk, 2, 1), 2, 2), 2, 3)
-    return up
+    return up.reshape(-1, 512)
 
 
 def v_cycle(

@@ -1,0 +1,104 @@
+"""Flat-layout neighbor access: the stencil engine every hot op builds on.
+
+Fields are ``[T, 512]`` (core/layout.py). Three access patterns, all built
+from measured-fast TPU primitives (lane rolls, contiguous row gathers,
+batched in-row gathers):
+
+- :func:`shifted_views` — the six +-1 face-shifted views: lane roll for the
+  in-tile part, one full-row neighbor gather + roll + masked select for the
+  boundary plane. This is the 7-point-stencil workhorse (pressure sweeps,
+  divergence, gradients, curl, clamps).
+- :func:`neighbor_table` — the 27-neighborhood as one ``[T, 27*512]`` array
+  (one contiguous row gather); 13824 = 108x128 lanes, perfectly tiled.
+- :func:`offset_view` / :func:`gather_table` — reads at arbitrary integer
+  offsets or per-voxel dynamic positions within the 27-neighborhood, as
+  batched in-row gathers from the neighbor table.
+
+Background semantics: row 0 of every field is the all-zero null tile, and
+absent neighbors point at row 0, so out-of-domain reads are exact zeros —
+the reference's "offset 0 => background" rule
+(`/root/reference/src/Utils/Stencils.hpp:81-89`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnanosolver_tpu.core.layout import COL, CX, CY, CZ, TILE
+from hnanosolver_tpu.core.topology import Topology
+
+# direction -> (boundary mask, in-tile roll, boundary fix roll)
+# jnp.roll(p, s, 1)[col] == p[col - s]
+_DIRS: Dict[Tuple[int, int, int], tuple] = {
+    (1, 0, 0): (CX == 7, -64, 448),
+    (-1, 0, 0): (CX == 0, 64, -448),
+    (0, 1, 0): (CY == 7, -8, 56),
+    (0, -1, 0): (CY == 0, 8, -56),
+    (0, 0, 1): (CZ == 7, -1, 7),
+    (0, 0, -1): (CZ == 0, 1, -7),
+}
+
+FACE_DIRS = tuple(_DIRS)
+
+
+def d_of(off) -> int:
+    return (off[0] + 1) * 9 + (off[1] + 1) * 3 + (off[2] + 1)
+
+
+def shifted_view(topo: Topology, f: jax.Array, off) -> jax.Array:
+    """One +-1 face-shifted view of ``f [T,512]``."""
+    mask, s_in, s_fix = _DIRS[tuple(off)]
+    n = jnp.take(f, topo.nbr[:, d_of(off)], axis=0)
+    return jnp.where(mask, jnp.roll(n, s_fix, axis=1), jnp.roll(f, s_in, axis=1))
+
+
+def shifted_views(topo: Topology, f: jax.Array, dirs=FACE_DIRS):
+    return {off: shifted_view(topo, f, off) for off in dirs}
+
+
+def neighbor_sum(topo: Topology, f: jax.Array) -> jax.Array:
+    """Sum of the six face neighbors (7-point stencil helper)."""
+    v = shifted_views(topo, f)
+    return (
+        v[(1, 0, 0)] + v[(-1, 0, 0)]
+        + v[(0, 1, 0)] + v[(0, -1, 0)]
+        + v[(0, 0, 1)] + v[(0, 0, -1)]
+    )
+
+
+def neighbor_table(topo: Topology, f: jax.Array) -> jax.Array:
+    """[T, 27*512]: every tile's 3x3x3 neighborhood values, one row gather.
+    Entry layout: d*512 + col with d = (dx+1)*9 + (dy+1)*3 + (dz+1)."""
+    T = f.shape[0]
+    return jnp.take(f, topo.nbr.reshape(-1), axis=0).reshape(T, 27 * TILE)
+
+
+def table_index(cx, cy, cz):
+    """In-neighborhood coords (each in [-8, 16)) -> index into the 27-table.
+    Accepts [T,512] int32 arrays (per-voxel dynamic positions)."""
+    ox = (cx + 8) >> 3  # 0,1,2
+    oy = (cy + 8) >> 3
+    oz = (cz + 8) >> 3
+    d = (ox * 9 + oy * 3 + oz) * TILE
+    return d + (cx & 7) * 64 + (cy & 7) * 8 + (cz & 7)
+
+
+def gather_table(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched in-row gather: table [T, 13824], idx [T,512] -> [T,512]."""
+    return jnp.take_along_axis(table, idx, axis=1)
+
+
+def offset_view(topo: Topology, f: jax.Array, off) -> jax.Array:
+    """f at a fixed integer offset, any |component| <= 8: a STATIC index
+    vector into the 27-table (one row gather + one in-row gather)."""
+    ox, oy, oz = (int(o) for o in off)
+    assert all(-8 <= o <= 8 for o in (ox, oy, oz))
+    if (ox, oy, oz) in _DIRS:
+        return shifted_view(topo, f, (ox, oy, oz))
+    table = neighbor_table(topo, f)
+    idx = table_index(CX + ox, CY + oy, CZ + oz)
+    return gather_table(table, jnp.broadcast_to(idx, f.shape))

@@ -1,5 +1,6 @@
 """Collocated central-difference stencil ops: divergence, pressure-gradient
-subtraction, vorticity confinement.
+subtraction, vorticity confinement — flat layout ([T,512] scalars,
+[3,T,512] velocity).
 
 Semantics match the reference's device kernels exactly (collocated central
 differences, NOT true MAC staggering — a documented reference quirk,
@@ -10,8 +11,8 @@ SURVEY §7.5):
 - vorticityConfinement:    `/root/reference/src/Cuda/Kernel.cu:970-1025`
   (+ computeVorticityMag,  `/root/reference/src/Cuda/Utils.cuh:226-243`)
 
-All are built on halo gathers (ops/halo.py); out-of-domain reads are exact
-background 0 via the null tile.
+All neighbor access goes through ops/shifts.py (lane rolls + row gathers);
+out-of-domain reads are exact background 0 via the null tile.
 """
 
 from __future__ import annotations
@@ -19,31 +20,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hnanosolver_tpu.core.topology import Topology, voxel_positions
-from hnanosolver_tpu.ops.halo import center, face_shift_views, gather_halo, shift
-from hnanosolver_tpu.ops.sampling import sample_nearest
+from hnanosolver_tpu.core.topology import Topology
+from hnanosolver_tpu.ops.shifts import offset_view, shifted_view, shifted_views
 
 
 def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
-    """div(u) at cell centers: per axis, average the face values
-    0.5*(u_c + u_nbr) on both sides and difference them, scaled by 1/dx —
-    the reference's scheme (`Kernel.cu:511-518`), which reduces to the plain
-    central difference (u_{+1} - u_{-1}) / (2 dx) per axis."""
-    v = face_shift_views(topo, vel)
+    """div(u) at cell centers: the reference averages face values
+    0.5*(u_c + u_nbr) on both sides and differences them (`Kernel.cu:511-518`),
+    which reduces to (u_{+1} - u_{-1}) / (2 dx) per axis. vel [3,T,512]."""
+    ux, uy, uz = vel[0], vel[1], vel[2]
     return (
-        (v[(1, 0, 0)][..., 0] - v[(-1, 0, 0)][..., 0])
-        + (v[(0, 1, 0)][..., 1] - v[(0, -1, 0)][..., 1])
-        + (v[(0, 0, 1)][..., 2] - v[(0, 0, -1)][..., 2])
+        (shifted_view(topo, ux, (1, 0, 0)) - shifted_view(topo, ux, (-1, 0, 0)))
+        + (shifted_view(topo, uy, (0, 1, 0)) - shifted_view(topo, uy, (0, -1, 0)))
+        + (shifted_view(topo, uz, (0, 0, 1)) - shifted_view(topo, uz, (0, 0, -1)))
     ) * (0.5 * inv_dx)
 
 
 def pressure_gradient(topo: Topology, p: jax.Array, inv_dx: float) -> jax.Array:
-    """grad(p) at cell centers via central differences, (p_{+1}-p_{-1})/(2dx)."""
-    v = face_shift_views(topo, p)
-    gx = (v[(1, 0, 0)] - v[(-1, 0, 0)]) * (0.5 * inv_dx)
-    gy = (v[(0, 1, 0)] - v[(0, -1, 0)]) * (0.5 * inv_dx)
-    gz = (v[(0, 0, 1)] - v[(0, 0, -1)]) * (0.5 * inv_dx)
-    return jnp.stack([gx, gy, gz], axis=-1)
+    """grad(p) at cell centers, [3,T,512]."""
+    v = shifted_views(topo, p)
+    return jnp.stack(
+        [
+            v[(1, 0, 0)] - v[(-1, 0, 0)],
+            v[(0, 1, 0)] - v[(0, -1, 0)],
+            v[(0, 0, 1)] - v[(0, 0, -1)],
+        ]
+    ) * (0.5 * inv_dx)
 
 
 def subtract_pressure_gradient(
@@ -55,15 +57,33 @@ def subtract_pressure_gradient(
     return vel - pressure_gradient(topo, p, inv_dx)
 
 
-def _curl_from_views(v6, factor: float) -> jax.Array:
-    """Vorticity omega = curl(u) from face-shifted views; factor = 0.5/dx."""
-    upx, umx = v6[(1, 0, 0)], v6[(-1, 0, 0)]
-    upy, umy = v6[(0, 1, 0)], v6[(0, -1, 0)]
-    upz, umz = v6[(0, 0, 1)], v6[(0, 0, -1)]
-    wx = ((upy[..., 2] - umy[..., 2]) - (upz[..., 1] - umz[..., 1])) * factor
-    wy = ((upz[..., 0] - umz[..., 0]) - (upx[..., 2] - umx[..., 2])) * factor
-    wz = ((upx[..., 1] - umx[..., 1]) - (upy[..., 0] - umy[..., 0])) * factor
-    return jnp.stack([wx, wy, wz], axis=-1)
+def curl(topo: Topology, vel: jax.Array, factor: float) -> jax.Array:
+    """omega = curl(u) via central differences; factor = 0.5/dx. [3,T,512]."""
+    ux, uy, uz = vel[0], vel[1], vel[2]
+
+    def dvd(f, off_p, off_m):
+        return shifted_view(topo, f, off_p) - shifted_view(topo, f, off_m)
+
+    wx = (dvd(uz, (0, 1, 0), (0, -1, 0)) - dvd(uy, (0, 0, 1), (0, 0, -1))) * factor
+    wy = (dvd(ux, (0, 0, 1), (0, 0, -1)) - dvd(uz, (1, 0, 0), (-1, 0, 0))) * factor
+    wz = (dvd(uy, (1, 0, 0), (-1, 0, 0)) - dvd(ux, (0, 1, 0), (0, -1, 0))) * factor
+    return jnp.stack([wx, wy, wz])
+
+
+def _curl_mag_at_offset(topo: Topology, vel: jax.Array, off, factor: float):
+    """|curl u| evaluated at voxel+off — matches the reference's pointwise
+    recomputation through the tree sampler (Utils.cuh:226-243), which can be
+    nonzero just outside the active set."""
+
+    def v(c, o):
+        return offset_view(
+            topo, vel[c], (off[0] + o[0], off[1] + o[1], off[2] + o[2])
+        )
+
+    wx = ((v(2, (0, 1, 0)) - v(2, (0, -1, 0))) - (v(1, (0, 0, 1)) - v(1, (0, 0, -1)))) * factor
+    wy = ((v(0, (0, 0, 1)) - v(0, (0, 0, -1))) - (v(2, (1, 0, 0)) - v(2, (-1, 0, 0)))) * factor
+    wz = ((v(1, (1, 0, 0)) - v(1, (-1, 0, 0))) - (v(0, (0, 1, 0)) - v(0, (0, -1, 0)))) * factor
+    return jnp.sqrt(wx * wx + wy * wy + wz * wz)
 
 
 def vorticity_confinement(
@@ -83,44 +103,34 @@ def vorticity_confinement(
     that truncation for parity."""
     s = int(factor_scale)
     factor = 0.5 * inv_dx
-
-    v6 = face_shift_views(topo, vel)
-    omega = _curl_from_views(v6, factor)  # [T,8,8,8,3]
+    omega = curl(topo, vel, factor)
 
     if s == 0:
         grad = jnp.zeros_like(omega)
     else:
-        # The reference recomputes |curl u| AT each offset coordinate through
-        # the tree sampler (Utils.cuh:226-243) — so the magnitude can be
-        # nonzero just outside the active set, where the curl stencil still
-        # touches active voxels. Reproduce that with shift views over one
-        # velocity halo of radius s+1 (row gathers only — no element gathers).
-        big = gather_halo(topo, vel, s + 1)
-
-        def mag_at(off):
-            def v(axis_off):
-                return shift(
-                    big,
-                    off[0] + axis_off[0],
-                    off[1] + axis_off[1],
-                    off[2] + axis_off[2],
-                )
-
-            upx, umx = v((1, 0, 0)), v((-1, 0, 0))
-            upy, umy = v((0, 1, 0)), v((0, -1, 0))
-            upz, umz = v((0, 0, 1)), v((0, 0, -1))
-            wx = ((upy[..., 2] - umy[..., 2]) - (upz[..., 1] - umz[..., 1])) * factor
-            wy = ((upz[..., 0] - umz[..., 0]) - (upx[..., 2] - umx[..., 2])) * factor
-            wz = ((upx[..., 1] - umx[..., 1]) - (upy[..., 0] - umy[..., 0])) * factor
-            return jnp.sqrt(wx * wx + wy * wy + wz * wz)
-
-        gx = (mag_at((s, 0, 0)) - mag_at((-s, 0, 0))) * factor
-        gy = (mag_at((0, s, 0)) - mag_at((0, -s, 0))) * factor
-        gz = (mag_at((0, 0, s)) - mag_at((0, 0, -s))) * factor
-        grad = jnp.stack([gx, gy, gz], axis=-1)
+        gx = (
+            _curl_mag_at_offset(topo, vel, (s, 0, 0), factor)
+            - _curl_mag_at_offset(topo, vel, (-s, 0, 0), factor)
+        ) * factor
+        gy = (
+            _curl_mag_at_offset(topo, vel, (0, s, 0), factor)
+            - _curl_mag_at_offset(topo, vel, (0, -s, 0), factor)
+        ) * factor
+        gz = (
+            _curl_mag_at_offset(topo, vel, (0, 0, s), factor)
+            - _curl_mag_at_offset(topo, vel, (0, 0, -s), factor)
+        ) * factor
+        grad = jnp.stack([gx, gy, gz])
 
     # normalize with the reference's +1e-5 regularizer (Kernel.cu:1015)
-    glen = jnp.sqrt(jnp.sum(grad * grad, axis=-1, keepdims=True)) + 1e-5
+    glen = jnp.sqrt(jnp.sum(grad * grad, axis=0, keepdims=True)) + 1e-5
     N = grad / glen
-    force = jnp.cross(N, omega)
+    # force = N x omega, channel-major cross product
+    force = jnp.stack(
+        [
+            N[1] * omega[2] - N[2] * omega[1],
+            N[2] * omega[0] - N[0] * omega[2],
+            N[0] * omega[1] - N[1] * omega[0],
+        ]
+    )
     return vel + confinement_scale * force * dt

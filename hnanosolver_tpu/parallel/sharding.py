@@ -60,10 +60,15 @@ def shard_topology(mesh: Mesh, topo: Topology) -> Topology:
     )
 
 
+def vel_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
+    """Velocity is channel-major [3,T,512]: shard the tile axis (dim 1)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def shard_state(mesh: Mesh, state: FieldState, axis: str = "x") -> FieldState:
     fs = field_sharding(mesh, axis)
     return FieldState(
-        velocity=jax.device_put(state.velocity, fs),
+        velocity=jax.device_put(state.velocity, vel_sharding(mesh, axis)),
         scalars={k: jax.device_put(v, fs) for k, v in state.scalars.items()},
     )
 
@@ -75,7 +80,8 @@ def make_sharded_step(mesh: Mesh, params: SolverParams, cfg: Optional[PlumeConfi
 
     def state_shardings(state: FieldState) -> FieldState:
         return FieldState(
-            velocity=fs, scalars={k: fs for k in state.scalars}
+            velocity=vel_sharding(mesh, axis),
+            scalars={k: fs for k in state.scalars},
         )
 
     def fn(topo: Topology, state: FieldState) -> FieldState:

@@ -207,15 +207,18 @@ def scatter_state(topo: Topology, slab: SlabTopology, state: FieldState) -> Fiel
     (host-side, by key match; ghosts filled too)."""
     D, Tl = slab.keys.shape
 
-    def remap(field):
-        pos = jnp.searchsorted(topo.keys, slab.keys.reshape(-1)).astype(jnp.int32)
-        pos = jnp.minimum(pos, topo.capacity - 1)
-        found = topo.keys[pos] == slab.keys.reshape(-1)
-        rows = jnp.where(found, pos, 0)
+    pos = jnp.searchsorted(topo.keys, slab.keys.reshape(-1)).astype(jnp.int32)
+    pos = jnp.minimum(pos, topo.capacity - 1)
+    found = topo.keys[pos] == slab.keys.reshape(-1)
+    rows = jnp.where(found, pos, 0)
+
+    def remap(field):  # scalars [T,512] -> [D,Tl,512]
         return jnp.take(field, rows, axis=0).reshape((D, Tl) + field.shape[1:])
 
+    # velocity [3,T,512] -> [D,3,Tl,512] (device axis outermost for sharding)
+    vel = jnp.take(state.velocity, rows, axis=1).reshape(3, D, Tl, -1)
     return FieldState(
-        velocity=remap(state.velocity),
+        velocity=jnp.moveaxis(vel, 0, 1),
         scalars={k: remap(v) for k, v in state.scalars.items()},
     )
 
@@ -229,13 +232,19 @@ def gather_state(topo: Topology, slab: SlabTopology, state: FieldState) -> Field
     pos = np.searchsorted(gk, flat_keys[owned])
     rows = jnp.asarray(pos.astype(np.int32))
 
-    def merge(field):
+    sel = jnp.asarray(np.flatnonzero(owned))
+
+    def merge(field):  # [D,Tl,512] -> [T,512]
         flat = field.reshape((D * Tl,) + field.shape[2:])
         out = jnp.zeros((topo.capacity,) + field.shape[2:], field.dtype)
-        return out.at[rows].set(flat[jnp.asarray(np.flatnonzero(owned))])
+        return out.at[rows].set(flat[sel])
 
+    # velocity [D,3,Tl,512] -> [3,T,512]
+    velf = jnp.moveaxis(state.velocity, 1, 0).reshape(3, D * Tl, -1)
+    velo = jnp.zeros((3, topo.capacity, velf.shape[-1]), velf.dtype)
+    velo = velo.at[:, rows].set(velf[:, sel])
     return FieldState(
-        velocity=merge(state.velocity),
+        velocity=velo,
         scalars={k: merge(v) for k, v in state.scalars.items()},
     )
 
@@ -252,16 +261,20 @@ def _local_topo(slab_slice) -> Topology:
 
 def make_refresh(axis: str, send_lo, send_hi, recv_lo, recv_hi, n_devices: int):
     """Ghost refresh closure for use inside shard_map: one ppermute per
-    direction pushes boundary-layer tile values into neighbor ghost rows."""
+    direction pushes boundary-layer tile values into neighbor ghost rows.
+    Handles both [T,512] scalars and [3,T,512] velocity (row axis differs)."""
     fwd = [(i, i + 1) for i in range(n_devices - 1)]
     bwd = [(i + 1, i) for i in range(n_devices - 1)]
 
     def refresh(field: jax.Array) -> jax.Array:
-        up = jax.lax.ppermute(jnp.take(field, send_hi, axis=0), axis, fwd)
-        dn = jax.lax.ppermute(jnp.take(field, send_lo, axis=0), axis, bwd)
+        ax = 1 if field.ndim == 3 else 0  # velocity is channel-major
+        up = jax.lax.ppermute(jnp.take(field, send_hi, axis=ax), axis, fwd)
+        dn = jax.lax.ppermute(jnp.take(field, send_lo, axis=ax), axis, bwd)
         # trash-row padding absorbs unused slots; row 0 (null) is never a
         # recv target so the background invariant holds.
-        return field.at[recv_lo].set(up).at[recv_hi].set(dn)
+        if ax == 0:
+            return field.at[recv_lo].set(up).at[recv_hi].set(dn)
+        return field.at[:, recv_lo].set(up).at[:, recv_hi].set(dn)
 
     return refresh
 
@@ -336,8 +349,10 @@ def sharded_plume_step(
         )
 
         # pressure loop with per-sweep ghost refresh
+        from hnanosolver_tpu.core.layout import parity_flat
+
         dx2 = params.voxel_size * params.voxel_size
-        parity = prs._parity(topo)
+        parity = parity_flat(topo)
         p = jnp.zeros_like(div)
         div = refresh(div)
 
@@ -369,9 +384,9 @@ def sharded_plume_step(
         if sdf_in is not None:
             advected[COLLISION_FIELD] = sdf_in
 
-        m = local_mask[:, None, None, None]
+        m = local_mask[:, None]  # [Tl,1]
         return (
-            (vel_out * m[..., None])[None],
+            (vel_out * m[None])[None],   # [1,3,Tl,512]
             {k: (v * m)[None] for k, v in advected.items()},
         )
 

@@ -50,7 +50,8 @@ def check_background_invariant(topo: Topology, state: FieldState, atol=0.0):
     """Null tile (row 0) and padding rows must hold exact zeros."""
     m = np.asarray(active_mask(topo)) == 0
     for name, arr in [("velocity", state.velocity)] + list(state.scalars.items()):
-        a = np.abs(np.asarray(arr)[m])
+        a = np.asarray(arr)
+        a = np.abs(a[:, m] if name == "velocity" else a[m])  # vel is [3,T,512]
         if a.size and a.max() > atol:
             raise AssertionError(
                 f"background invariant violated in {name}: max |v| = {a.max()}"

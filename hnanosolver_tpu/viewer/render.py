@@ -171,12 +171,14 @@ def render_state(
     **kw,
 ) -> np.ndarray:
     """Densify a field over a view box and render it."""
-    dense = np.asarray(tiles_to_dense(topo, state.scalars[field], shape, origin))
+    dense = np.asarray(
+        tiles_to_dense(topo, state.scalar_blocks(field), shape, origin)
+    )
     if mode == "ortho":
         emission = None
         if "flame" in state.scalars:
             emission = np.asarray(
-                tiles_to_dense(topo, state.scalars["flame"], shape, origin)
+                tiles_to_dense(topo, state.scalar_blocks("flame"), shape, origin)
             )
         return render_orthographic(dense, emission=emission, **kw)
     return render_perspective(dense, **kw)

@@ -14,7 +14,6 @@ from hnanosolver_tpu.core.topology import (
     active_mask,
     build_topology,
     lookup_tiles,
-    voxel_positions,
 )
 from hnanosolver_tpu.fields import zeros_state
 from hnanosolver_tpu.models.plume import (
@@ -26,10 +25,12 @@ from hnanosolver_tpu.models.plume import (
 
 
 def test_remap_preserves_values():
+    from hnanosolver_tpu.core.layout import positions_flat
+
     old = build_topology(np.array([[0, 0, 0], [1, 0, 0]], np.int32))
     state = zeros_state(old)
-    pos = voxel_positions(old).astype(jnp.float32)
-    rho = (pos[..., 0] + 100 * pos[..., 1]) * active_mask(old)[:, None, None, None]
+    px, py, _ = positions_flat(old)
+    rho = (px + 100 * py).astype(jnp.float32) * active_mask(old)[:, None]
     state = state.with_scalar("density", rho)
 
     new = build_topology(
@@ -52,9 +53,9 @@ def test_remap_preserves_values():
 def test_occupancy_and_expand():
     topo = build_topology(np.array([[0, 0, 0], [3, 3, 3]], np.int32), capacity=64)
     state = zeros_state(topo)
-    rho = jnp.zeros((topo.capacity, 8, 8, 8))
+    rho = jnp.zeros((topo.capacity, 512))
     id0 = int(lookup_tiles(topo, jnp.array([0, 0, 0], jnp.int32)))
-    rho = rho.at[id0, 4, 4, 4].set(1.0)
+    rho = rho.at[id0, (4 * 8 + 4) * 8 + 4].set(1.0)  # voxel (4,4,4)
     state = state.with_scalar("density", rho)
 
     occ = np.asarray(occupied_tile_mask(topo, state))
@@ -65,7 +66,7 @@ def test_occupancy_and_expand():
     assert int(new_topo.n_active) == 27
     assert int(lookup_tiles(new_topo, jnp.array([3, 3, 3], jnp.int32))) == 0
     nid = int(lookup_tiles(new_topo, jnp.array([0, 0, 0], jnp.int32)))
-    assert float(new_state.scalars["density"][nid, 4, 4, 4]) == 1.0
+    assert float(new_state.scalars["density"][nid, (4 * 8 + 4) * 8 + 4]) == 1.0
     # same capacity -> no recompile-triggering shape change
     assert new_topo.capacity == topo.capacity
 
@@ -82,10 +83,12 @@ def test_plume_grows_and_rises():
     topo, state = run_plume(6, params=params, cfg=cfg, topo=topo)
     assert int(topo.n_active) > n0  # plume expanded the active set
     # density mass exists and has risen above the emitter
+    from hnanosolver_tpu.core.layout import positions_flat
+
     rho = state.scalars["density"]
-    pos = voxel_positions(topo).astype(jnp.float32)
+    _, py, _ = positions_flat(topo)
     assert float(jnp.sum(rho)) > 0
-    top_y = float(jnp.max(jnp.where(rho > 0.01, pos[..., 1], -1e9)))
+    top_y = float(jnp.max(jnp.where(rho > 0.01, py.astype(jnp.float32), -1e9)))
     assert top_y > 12.0 + 6.0  # matter above the emitter sphere
     # null tile invariant survived repeated remaps
-    assert float(jnp.max(jnp.abs(state.velocity[0]))) == 0.0
+    assert float(jnp.max(jnp.abs(state.velocity[:, 0]))) == 0.0

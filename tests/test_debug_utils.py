@@ -18,10 +18,12 @@ from hnanosolver_tpu.utils.debug import (
 
 
 def _state(topo):
+    from hnanosolver_tpu.core.layout import positions_flat
+
     state = zeros_state(topo)
-    pos = voxel_positions(topo).astype(jnp.float32)
-    m = active_mask(topo)[:, None, None, None]
-    blob = jnp.exp(-((pos[..., 0] - 8) ** 2 + (pos[..., 1] - 8) ** 2) / 20.0) * m
+    px, py, _ = (p.astype(jnp.float32) for p in positions_flat(topo))
+    m = active_mask(topo)[:, None]
+    blob = jnp.exp(-((px - 8) ** 2 + (py - 8) ** 2) / 20.0) * m
     return state.with_scalar("density", blob).with_scalar(
         "temperature", (23.0 + 30 * blob) * m
     )
@@ -42,7 +44,7 @@ def test_nan_guard_raises():
     topo = build_topology_dense((8, 8, 8))
     state = _state(topo)
     bad = state.with_scalar(
-        "density", state.scalars["density"].at[1, 0, 0, 0].set(jnp.nan)
+        "density", state.scalars["density"].at[1, 0].set(jnp.nan)
     )
     with pytest.raises(FloatingPointError):
         nan_guard(bad)
@@ -52,7 +54,7 @@ def test_background_invariant_catches_violation():
     topo = build_topology_dense((8, 8, 8))
     state = _state(topo)
     bad = state.with_scalar(
-        "density", state.scalars["density"].at[0, 0, 0, 0].set(1.0)
+        "density", state.scalars["density"].at[0, 0].set(1.0)
     )
     with pytest.raises(AssertionError):
         check_background_invariant(topo, bad)

@@ -17,14 +17,16 @@ from hnanosolver_tpu.io.state import (
 
 
 def _demo(capacity=None):
+    from hnanosolver_tpu.core.layout import positions_flat
+
     topo = build_topology(
         np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.int32), capacity=capacity
     )
     state = zeros_state(topo)
-    pos = voxel_positions(topo).astype(jnp.float32)
-    m = active_mask(topo)[:, None, None, None]
-    state = state.with_scalar("density", (pos[..., 0] + 0.5 * pos[..., 1]) * m)
-    state = state.replace(velocity=pos * 0.1 * m[..., None])
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    m = active_mask(topo)[:, None]
+    state = state.with_scalar("density", (px + 0.5 * py) * m)
+    state = state.replace(velocity=jnp.stack([px, py, pz]) * 0.1 * m[None])
     return topo, state
 
 

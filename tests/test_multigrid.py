@@ -21,7 +21,7 @@ from hnanosolver_tpu.ops.multigrid import (
 
 
 def _l2(topo, x):
-    m = active_mask(topo)[:, None, None, None]
+    m = active_mask(topo)[:, None]
     return float(jnp.sqrt(jnp.sum((x * m) ** 2)))
 
 
@@ -39,12 +39,10 @@ def test_hierarchy_shapes():
 def test_restrict_prolong_constant_field():
     topo = build_topology_dense((16, 16, 16))
     hier = build_hierarchy(topo, 1)
-    m = active_mask(topo)[:, None, None, None]
-    f = jnp.ones((topo.capacity, 8, 8, 8)) * m
+    m = active_mask(topo)[:, None]
+    f = jnp.ones((topo.capacity, 512)) * m
     c = restrict(hier[0], f)
-    mc = jnp.broadcast_to(
-        active_mask(hier[0].topo)[:, None, None, None], c.shape
-    )
+    mc = jnp.broadcast_to(active_mask(hier[0].topo)[:, None], c.shape)
     np.testing.assert_allclose(np.asarray(c * mc), np.asarray(mc), atol=1e-6)
     back = prolong(hier[0], c, topo.capacity)
     # prolong of restrict of constant = constant on active fine tiles
@@ -55,14 +53,15 @@ def test_restrict_prolong_constant_field():
 def test_restrict_positions():
     """Restriction of the x-coordinate field averages to the coarse cell's
     fine-x center: coarse voxel (I) covers fine [2I, 2I+1] -> mean 2I+0.5."""
+    from hnanosolver_tpu.core.layout import positions_flat
+
     topo = build_topology_dense((16, 16, 16))
     hier = build_hierarchy(topo, 1)
-    pos = voxel_positions(topo).astype(jnp.float32)
-    fx = pos[..., 0] * active_mask(topo)[:, None, None, None]
+    fx = positions_flat(topo)[0].astype(jnp.float32) * active_mask(topo)[:, None]
     c = restrict(hier[0], fx)
-    cpos = voxel_positions(hier[0].topo)
+    cx = positions_flat(hier[0].topo)[0]
     nc = int(hier[0].topo.n_active)
-    want = 2.0 * np.asarray(cpos[..., 0], np.float32) + 0.5
+    want = 2.0 * np.asarray(cx, np.float32) + 0.5
     np.testing.assert_allclose(
         np.asarray(c)[1 : nc + 1], want[1 : nc + 1], atol=1e-5
     )
@@ -71,12 +70,12 @@ def test_restrict_positions():
 def test_vcycle_beats_rbgs_at_same_work():
     topo = build_topology_dense((32, 32, 32))
     hier = build_hierarchy(topo, 2)
-    pos = voxel_positions(topo).astype(jnp.float32)
+    from hnanosolver_tpu.core.layout import positions_flat
+
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
     k = 2 * np.pi / 32.0
     # smooth forcing (low frequency = worst case for plain RBGS)
-    div = jnp.sin(k * pos[..., 0]) * jnp.sin(k * pos[..., 1]) * jnp.sin(
-        k * pos[..., 2]
-    ) * active_mask(topo)[:, None, None, None]
+    div = jnp.sin(k * px) * jnp.sin(k * py) * jnp.sin(k * pz) * active_mask(topo)[:, None]
     dx = 0.25
     # 3 V-cycles (~3*(2+2) fine sweeps + coarse work) vs 30 RBGS sweeps.
     # Measured convergence ~0.3x residual per cycle with piecewise-constant
@@ -100,8 +99,8 @@ def test_vcycle_on_sparse_topology():
     hier = build_hierarchy(topo, 1)
     rng = np.random.default_rng(3)
     div = jnp.asarray(
-        rng.standard_normal((topo.capacity, 8, 8, 8)).astype(np.float32)
-    ) * active_mask(topo)[:, None, None, None]
+        rng.standard_normal((topo.capacity, 512)).astype(np.float32)
+    ) * active_mask(topo)[:, None]
     dx = 0.25
     p1 = solve_pressure_mg(topo, hier, div, cycles=1, dx=dx)
     p3 = solve_pressure_mg(topo, hier, div, cycles=3, dx=dx)
@@ -122,14 +121,16 @@ def test_step_with_mg_pressure():
 
     topo = build_topology_dense((16, 16, 16))
     hier = tuple(build_hierarchy(topo, 1))
+    from hnanosolver_tpu.core.layout import positions_flat
+
     state = zeros_state(topo)
-    pos = voxel_positions(topo).astype(jnp.float32)
-    m = active_mask(topo)[:, None, None, None]
-    blob = jnp.exp(-((pos[..., 0] - 8) ** 2 + (pos[..., 1] - 4) ** 2) / 9.0) * m
+    px, py, _ = (p.astype(jnp.float32) for p in positions_flat(topo))
+    m = active_mask(topo)[:, None]
+    blob = jnp.exp(-((px - 8) ** 2 + (py - 4) ** 2) / 9.0) * m
     state = state.with_scalar("density", blob).with_scalar(
         "temperature", (23.0 + 40 * blob) * m
     )
     params = SolverParams(dt=0.25, iterations=2, pressure_solver="mg", voxel_size=0.25)
     out = step(topo, state, params, hierarchy=hier)
     assert np.isfinite(np.asarray(out.velocity)).all()
-    assert float(jnp.max(out.velocity[..., 1])) > 0  # buoyancy acted
+    assert float(jnp.max(out.velocity[1])) > 0  # buoyancy acted

@@ -1,13 +1,14 @@
 """Sparse-vs-dense parity: a sparse topology covering exactly a dense box
 must reproduce the dense oracle to float tolerance. This validates the whole
-sparse machinery (lookup, halo, samplers) against an independent
-implementation of the same physics."""
+sparse machinery (lookup, shifts, samplers, flat layout) against an
+independent implementation of the same physics."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from hnanosolver_tpu.config import SolverParams
+from hnanosolver_tpu.core import layout as L
 from hnanosolver_tpu.core.convert import dense_to_tiles, tiles_to_dense
 from hnanosolver_tpu.core.topology import build_topology_dense
 from hnanosolver_tpu.dense import ops as D
@@ -43,31 +44,45 @@ def smooth_fields(rng, n=N):
     return jnp.asarray(vel), jnp.asarray(density)
 
 
+def to_flat_scalar(topo, dense):
+    return L.scalar_from_blocks(dense_to_tiles(topo, dense))
+
+
+def to_flat_vec(topo, dense):
+    return L.vec_from_blocks(dense_to_tiles(topo, dense))
+
+
+def from_flat_scalar(topo, flat, shape=(N, N, N)):
+    return tiles_to_dense(topo, L.scalar_to_blocks(flat), shape)
+
+
+def from_flat_vec(topo, flat, shape=(N, N, N)):
+    return tiles_to_dense(topo, L.vec_to_blocks(flat), shape)
+
+
 @pytest.fixture
 def setup(rng):
     topo = build_topology_dense((N, N, N))
     vel_d, rho_d = smooth_fields(rng)
-    vel_t = dense_to_tiles(topo, vel_d)
-    rho_t = dense_to_tiles(topo, rho_d)
+    vel_t = to_flat_vec(topo, vel_d)
+    rho_t = to_flat_scalar(topo, rho_d)
     return topo, vel_d, rho_d, vel_t, rho_t
 
 
-def roundtrip_ok(topo, dense):
-    t = dense_to_tiles(topo, dense)
-    back = tiles_to_dense(topo, t, dense.shape[:3])
-    np.testing.assert_array_equal(np.asarray(back), np.asarray(dense))
-
-
 def test_convert_roundtrip(setup):
-    topo, vel_d, rho_d, *_ = setup
-    roundtrip_ok(topo, vel_d)
-    roundtrip_ok(topo, rho_d)
+    topo, vel_d, rho_d, vel_t, rho_t = setup
+    np.testing.assert_array_equal(
+        np.asarray(from_flat_vec(topo, vel_t)), np.asarray(vel_d)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(from_flat_scalar(topo, rho_t)), np.asarray(rho_d)
+    )
 
 
 def test_divergence_parity(setup):
     topo, vel_d, _, vel_t, _ = setup
     want = D.divergence(vel_d, 2.0)
-    got = tiles_to_dense(topo, stn.divergence(topo, vel_t, 2.0), (N, N, N))
+    got = from_flat_scalar(topo, stn.divergence(topo, vel_t, 2.0))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
@@ -77,9 +92,7 @@ def test_pressure_parity(setup):
     div_t = stn.divergence(topo, vel_t, 1.0)
     params = SolverParams(iterations=8)
     want = D.solve_pressure(div_d, 8, 1.0, params.omega)
-    got = tiles_to_dense(
-        topo, prs.solve_pressure(topo, div_t, 8, 1.0, params.omega), (N, N, N)
-    )
+    got = from_flat_scalar(topo, prs.solve_pressure(topo, div_t, 8, 1.0, params.omega))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
@@ -87,9 +100,7 @@ def test_advection_parity(setup):
     topo, vel_d, rho_d, vel_t, rho_t = setup
     dt, inv_dx = 0.5, 1.0
     want = D.advect_bfecc(vel_d, rho_d, dt, inv_dx)
-    got = tiles_to_dense(
-        topo, adv.advect_scalar(topo, vel_t, rho_t, dt, inv_dx), (N, N, N)
-    )
+    got = from_flat_scalar(topo, adv.advect_scalar(topo, vel_t, rho_t, dt, inv_dx))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
@@ -97,15 +108,13 @@ def test_velocity_advection_parity(setup):
     topo, vel_d, _, vel_t, _ = setup
     dt, inv_dx = 0.5, 1.0
     want = D.advect_bfecc(vel_d, vel_d, dt, inv_dx)
-    got = tiles_to_dense(topo, adv.advect_velocity(topo, vel_t, dt, inv_dx), (N, N, N))
+    got = from_flat_vec(topo, adv.advect_velocity(topo, vel_t, dt, inv_dx))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 def test_full_step_parity(setup, rng):
     topo, vel_d, rho_d, vel_t, rho_t = setup
-    temp = jnp.asarray(
-        (30.0 * rho_d).astype(np.float32)
-    )  # above ambient in the blob
+    temp = jnp.asarray((30.0 * rho_d).astype(np.float32))
     fuel = rho_d * 0.3
     scalars_d = {
         "density": rho_d,
@@ -119,13 +128,13 @@ def test_full_step_parity(setup, rng):
 
     state = FieldState(
         velocity=vel_t,
-        scalars={k: dense_to_tiles(topo, v) for k, v in scalars_d.items()},
+        scalars={k: to_flat_scalar(topo, v) for k, v in scalars_d.items()},
     )
     out = step(topo, state, params)
-    got_v = tiles_to_dense(topo, out.velocity, (N, N, N))
+    got_v = from_flat_vec(topo, out.velocity)
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=2e-4)
     for k in scalars_d:
-        got = tiles_to_dense(topo, out.scalars[k], (N, N, N))
+        got = from_flat_scalar(topo, out.scalars[k])
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want_s[k]), atol=2e-4, err_msg=k
         )
@@ -133,9 +142,7 @@ def test_full_step_parity(setup, rng):
 
 def test_vorticity_parity(setup):
     topo, vel_d, _, vel_t, _ = setup
-    # factor_scale=1 exercises the offset-gradient path
+    # factor_scale=1 exercises the offset-gradient path (27-table reads)
     want = D.vorticity_confinement(vel_d, 0.1, 1.0, 2.0, 1.0)
-    got = tiles_to_dense(
-        topo, stn.vorticity_confinement(topo, vel_t, 0.1, 1.0, 2.0, 1.0), (N, N, N)
-    )
+    got = from_flat_vec(topo, stn.vorticity_confinement(topo, vel_t, 0.1, 1.0, 2.0, 1.0))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -34,16 +34,15 @@ def _random_sparse_topology(rng, n_layers=16):
 
 
 def _demo_state(topo, rng):
+    from hnanosolver_tpu.core.layout import positions_flat
+
     state = zeros_state(topo)
-    pos = voxel_positions(topo).astype(jnp.float32)
-    m = active_mask(topo)[:, None, None, None]
-    blob = jnp.exp(
-        -((pos[..., 0] - 40) ** 2 + (pos[..., 1] - 12) ** 2 + (pos[..., 2] - 12) ** 2)
-        / 40.0
-    ) * m
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    m = active_mask(topo)[:, None]
+    blob = jnp.exp(-((px - 40) ** 2 + (py - 12) ** 2 + (pz - 12) ** 2) / 40.0) * m
     noise = jnp.asarray(
-        rng.standard_normal((topo.capacity, 8, 8, 8, 3)).astype(np.float32) * 0.3
-    ) * m[..., None]
+        rng.standard_normal((3, topo.capacity, 512)).astype(np.float32) * 0.3
+    ) * m[None]
     return (
         state.replace(velocity=noise)
         .with_scalar("density", blob)
@@ -93,7 +92,7 @@ def test_sharded_step_matches_single_device(rng, mesh):
 
     m = np.asarray(active_mask(topo)).astype(bool)
     np.testing.assert_allclose(
-        np.asarray(got.velocity)[m], np.asarray(want.velocity)[m],
+        np.asarray(got.velocity)[:, m], np.asarray(want.velocity)[:, m],
         rtol=1e-4, atol=1e-5,
     )
     for k in want.scalars:
