@@ -12,6 +12,12 @@ throughput the CUDA implementation could reach if perfectly HBM-bound.
 With ITERATIONS=50 pressure sweeps that model gives
   3324 bytes/voxel  ->  ~303 M voxel-updates/s.
 ``vs_baseline`` is (our measured voxel-updates/s) / (that envelope).
+
+Measurement notes for the tunneled TPU (axon): block_until_ready is not a
+reliable fence and a device->host pull has ~0.3-0.5 s flat latency, so the
+step is timed as a ``lax.fori_loop`` chain of K dependent steps ending in
+one pull, minus the 1-step chain, divided by K-1. K stays small (4) because
+long device programs have tripped the worker watchdog.
 """
 
 from __future__ import annotations
@@ -22,9 +28,9 @@ import time
 
 import numpy as np
 
-
 ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
 RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
+CHAIN = 4  # steps per timed device program
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
@@ -45,6 +51,36 @@ def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=1
     return np.array(tiles, np.int32)
 
 
+def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=3):
+    import jax.numpy as jnp
+
+    from hnanosolver_tpu.models.plume import plume_step
+
+    @jax.jit
+    def chain(s, k):
+        return jax.lax.fori_loop(0, k, lambda _, x: plume_step(topo, x, params, cfg), s)
+
+    def pull(tree):
+        np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[:1]
+
+    one = jnp.asarray(1)
+    k = jnp.asarray(chain_len)
+    pull(chain(state, one))  # compile + warm
+    pull(chain(state, k))
+
+    def best(n):
+        b = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            pull(chain(state, n))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t1 = best(one)
+    tn = best(k)
+    return max(tn - t1, 1e-9) / (chain_len - 1)
+
+
 def main():
     import jax
 
@@ -52,23 +88,32 @@ def main():
     from hnanosolver_tpu.core.topology import build_topology
     from hnanosolver_tpu.fields import zeros_state
     from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
-    from hnanosolver_tpu.utils.timers import full_step_bytes_per_voxel, time_chained
+    from hnanosolver_tpu.utils.timers import full_step_bytes_per_voxel
 
-    tiles = build_plume_envelope()
-    topo = build_topology(tiles)
     params = SolverParams(dt=1.0 / 24.0, iterations=ITERATIONS, voxel_size=0.5)
     cfg = PlumeConfig(center=(128.0, 24.0, 128.0), radius=20.0)
-    state = zeros_state(topo)
 
-    # develop a few frames so fields are realistic (and warm the jit cache)
-    for _ in range(3):
-        state = plume_step(topo, state, params, cfg)
-
-    # Chained timing with a single device->host fence per measurement:
-    # block_until_ready is not a reliable fence on tunneled backends, and a
-    # D2H pull has ~0.3-0.5 s flat latency that must not be attributed to
-    # the step.
-    t = time_chained(lambda s: plume_step(topo, s, params, cfg), state, n_steps=8)
+    # retry ladder: full 256^3-class envelope, then smaller if the tunneled
+    # worker misbehaves (crash / OOM) — always emit a JSON line.
+    t = None
+    for radius, height in [(64, 256), (48, 192), (32, 128)]:
+        try:
+            tiles = build_plume_envelope(radius_vox=radius, height_vox=height)
+            topo = build_topology(tiles)
+            state = zeros_state(topo)
+            for _ in range(2):  # develop fields a bit
+                state = plume_step(topo, state, params, cfg)
+            t = _measure(jax, topo, params, cfg, state)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench config ({radius},{height}) failed: {e}", file=sys.stderr)
+            topo = None
+    if t is None:
+        print(json.dumps({
+            "metric": "active_voxel_updates_per_sec_full_step_256plume",
+            "value": 0.0, "unit": "voxel_updates/s/chip", "vs_baseline": 0.0,
+        }))
+        return
 
     voxels = topo.num_voxels
     vups = voxels / t
