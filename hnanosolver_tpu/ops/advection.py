@@ -95,6 +95,7 @@ def _advect_chunked(
     scaled_dt: float,
     sdf: Optional[jax.Array],
     chunk: int,
+    trace_order: int = 1,
 ):
     """Core BFECC: returns (phiF, phiB) stacked [len(fields), T, 512].
     Shares trace corners across all fields."""
@@ -107,9 +108,47 @@ def _advect_chunked(
 
     def body(args):
         nbr27, vx, vy, vz = args
-        dx = _clamp(-vx * scaled_dt)
-        dy = _clamp(-vy * scaled_dt)
-        dz = _clamp(-vz * scaled_dt)
+
+        if trace_order >= 2:
+            # RK backtrace (the reference ships rk3/rk4 integrators in
+            # /root/reference/src/Cuda/Utils.cuh even though its pipeline
+            # uses the 1st-order trace; trace_order=1 matches the pipeline).
+            vxt0 = table(vel[0], nbr27)
+            vyt0 = table(vel[1], nbr27)
+            vzt0 = table(vel[2], nbr27)
+
+            def vel_at(dx, dy, dz):
+                c = _corners(dx, dy, dz)
+                return _sample(vxt0, c), _sample(vyt0, c), _sample(vzt0, c)
+
+            if trace_order == 2:  # midpoint
+                mx, my, mz = vel_at(
+                    _clamp(-0.5 * vx * scaled_dt),
+                    _clamp(-0.5 * vy * scaled_dt),
+                    _clamp(-0.5 * vz * scaled_dt),
+                )
+                dx = _clamp(-mx * scaled_dt)
+                dy = _clamp(-my * scaled_dt)
+                dz = _clamp(-mz * scaled_dt)
+            else:  # RK3 (Ralston)
+                k1x, k1y, k1z = vx, vy, vz
+                k2x, k2y, k2z = vel_at(
+                    _clamp(-0.5 * k1x * scaled_dt),
+                    _clamp(-0.5 * k1y * scaled_dt),
+                    _clamp(-0.5 * k1z * scaled_dt),
+                )
+                k3x, k3y, k3z = vel_at(
+                    _clamp(-0.75 * k2x * scaled_dt),
+                    _clamp(-0.75 * k2y * scaled_dt),
+                    _clamp(-0.75 * k2z * scaled_dt),
+                )
+                dx = _clamp(-(2 * k1x + 3 * k2x + 4 * k3x) / 9.0 * scaled_dt)
+                dy = _clamp(-(2 * k1y + 3 * k2y + 4 * k3y) / 9.0 * scaled_dt)
+                dz = _clamp(-(2 * k1z + 3 * k2z + 4 * k3z) / 9.0 * scaled_dt)
+        else:
+            dx = _clamp(-vx * scaled_dt)
+            dy = _clamp(-vy * scaled_dt)
+            dz = _clamp(-vz * scaled_dt)
         if sdf is not None:
             sdf_t = table(sdf, nbr27)
             d = _sample(sdf_t, _corners(dx, dy, dz))
@@ -172,6 +211,7 @@ def advect_scalars_fused(
     inv_dx: float,
     sdf: Optional[jax.Array] = None,
     chunk: int = DEFAULT_CHUNK,
+    trace_order: int = 1,
 ) -> Dict[str, jax.Array]:
     """BFECC-advect every scalar field by ``vel`` [3,T,512], sharing trace
     corners across fields (the fused advect_scalars kernel)."""
@@ -179,7 +219,7 @@ def advect_scalars_fused(
         return {}
     names = sorted(scalars)
     fields = [scalars[n] for n in names]
-    pf, pb = _advect_chunked(topo, vel, fields, dt * inv_dx, sdf, chunk)
+    pf, pb = _advect_chunked(topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order)
     out = {}
     for i, n in enumerate(names):
         corr = pf[i] + 0.5 * (fields[i] - pb[i])
@@ -195,9 +235,12 @@ def advect_scalar(
     inv_dx: float,
     sdf: Optional[jax.Array] = None,
     chunk: int = DEFAULT_CHUNK,
+    trace_order: int = 1,
 ) -> jax.Array:
     """Single-field BFECC advection (the standalone HNanoAdvect node path)."""
-    return advect_scalars_fused(topo, vel, {"f": field}, dt, inv_dx, sdf, chunk)["f"]
+    return advect_scalars_fused(
+        topo, vel, {"f": field}, dt, inv_dx, sdf, chunk, trace_order
+    )["f"]
 
 
 def advect_velocity(
@@ -207,13 +250,14 @@ def advect_velocity(
     inv_dx: float,
     sdf: Optional[jax.Array] = None,
     chunk: int = DEFAULT_CHUNK,
+    trace_order: int = 1,
 ) -> jax.Array:
     """BFECC self-advection of velocity with per-component clamping and the
     reference's near-boundary no-slip tail (Kernel.cu:354-453)."""
     from hnanosolver_tpu.ops import collision as col
 
     fields = [vel[0], vel[1], vel[2]]
-    pf, pb = _advect_chunked(topo, vel, fields, dt * inv_dx, sdf, chunk)
+    pf, pb = _advect_chunked(topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order)
     comps = []
     for c in range(3):
         corr = pf[c] + 0.5 * (vel[c] - pb[c])
