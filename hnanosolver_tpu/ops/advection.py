@@ -40,8 +40,11 @@ import jax.numpy as jnp
 from hnanosolver_tpu.core.layout import CX, CY, CZ, TILE
 from hnanosolver_tpu.core.topology import Topology
 from hnanosolver_tpu.ops import shifts as sh
+from hnanosolver_tpu.ops.interp import trilinear_mxu
 
-DEFAULT_CHUNK = 1024  # tiles per lax.map chunk
+DEFAULT_CHUNK = 256  # tiles per lax.map chunk (bounds the MXU t1 temporary)
+INTERP = "mxu"  # "mxu": one-hot MXU contractions (fast on TPU);
+# "gather": 8-corner take_along_axis (reference formulation; slow on TPU)
 DISP_LIMIT = 7.0 - 1e-3  # max |displacement| per axis per trace (voxels)
 
 
@@ -96,9 +99,10 @@ def _advect_chunked(
     sdf: Optional[jax.Array],
     chunk: int,
     trace_order: int = 1,
+    interp: str = INTERP,
 ):
     """Core BFECC: returns (phiF, phiB) stacked [len(fields), T, 512].
-    Shares trace corners across all fields."""
+    Shares trace positions and interpolation weights across all fields."""
 
     def table(full_field, nbr27):
         C = nbr27.shape[0]
@@ -109,6 +113,14 @@ def _advect_chunked(
     def body(args):
         nbr27, vx, vy, vz = args
 
+        if interp == "mxu":
+            def sample_many(tables, dx, dy, dz):
+                return trilinear_mxu(tables, dx, dy, dz)
+        else:
+            def sample_many(tables, dx, dy, dz):
+                cs = _corners(dx, dy, dz)
+                return [_sample(t, cs) for t in tables]
+
         if trace_order >= 2:
             # RK backtrace (the reference ships rk3/rk4 integrators in
             # /root/reference/src/Cuda/Utils.cuh even though its pipeline
@@ -118,8 +130,7 @@ def _advect_chunked(
             vzt0 = table(vel[2], nbr27)
 
             def vel_at(dx, dy, dz):
-                c = _corners(dx, dy, dz)
-                return _sample(vxt0, c), _sample(vyt0, c), _sample(vzt0, c)
+                return tuple(sample_many([vxt0, vyt0, vzt0], dx, dy, dz))
 
             if trace_order == 2:  # midpoint
                 mx, my, mz = vel_at(
@@ -151,31 +162,28 @@ def _advect_chunked(
             dz = _clamp(-vz * scaled_dt)
         if sdf is not None:
             sdf_t = table(sdf, nbr27)
-            d = _sample(sdf_t, _corners(dx, dy, dz))
+            d = sample_many([sdf_t], dx, dy, dz)[0]
             hit = d < 0.0  # backtrace entered the solid -> stay (Kernel.cu:141-155)
             dx = jnp.where(hit, 0.0, dx)
             dy = jnp.where(hit, 0.0, dy)
             dz = jnp.where(hit, 0.0, dz)
-        cb = _corners(dx, dy, dz)
-        vxt, vyt, vzt = table(vel[0], nbr27), table(vel[1], nbr27), table(vel[2], nbr27)
-        vfx = _sample(vxt, cb)
-        vfy = _sample(vyt, cb)
-        vfz = _sample(vzt, cb)
+        vel_tables = [table(vel[c], nbr27) for c in range(3)]
+        field_tables = [table(f, nbr27) for f in fields]
+        # one pass at the back position samples velocity AND all fields
+        # (shared interpolation weights — the fused-kernel trick)
+        back_samples = sample_many(vel_tables + field_tables, dx, dy, dz)
+        vfx, vfy, vfz = back_samples[:3]
+        phis_f = back_samples[3:]
         d2x = _clamp(dx + vfx * scaled_dt)
         d2y = _clamp(dy + vfy * scaled_dt)
         d2z = _clamp(dz + vfz * scaled_dt)
         if sdf is not None:
-            d2 = _sample(sdf_t, _corners(d2x, d2y, d2z))
+            d2 = sample_many([sdf_t], d2x, d2y, d2z)[0]
             hit2 = d2 < 0.0  # retrace entered the solid -> stay at backPos
             d2x = jnp.where(hit2, dx, d2x)
             d2y = jnp.where(hit2, dy, d2y)
             d2z = jnp.where(hit2, dz, d2z)
-        cf = _corners(d2x, d2y, d2z)
-        phis_f, phis_b = [], []
-        for f in fields:
-            ft = table(f, nbr27)
-            phis_f.append(_sample(ft, cb))
-            phis_b.append(_sample(ft, cf))
+        phis_b = sample_many(field_tables, d2x, d2y, d2z)
         return jnp.stack(phis_f), jnp.stack(phis_b)
 
     nbr_chunks = _chunk_rows(topo, chunk)
