@@ -113,7 +113,12 @@ def _advect_chunked(
     def body(args):
         nbr27, vx, vy, vz = args
 
-        if interp == "mxu":
+        if interp == "pallas":
+            from hnanosolver_tpu.ops.pallas_interp import trilinear_pallas
+
+            def sample_many(tables, dx, dy, dz):
+                return trilinear_pallas(tables, dx, dy, dz)
+        elif interp == "mxu":
             def sample_many(tables, dx, dy, dz):
                 return trilinear_mxu(tables, dx, dy, dz)
         else:

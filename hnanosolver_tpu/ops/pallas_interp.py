@@ -1,0 +1,113 @@
+"""Fused Pallas TPU kernel for MXU trilinear sampling.
+
+The XLA formulation (ops/interp.py) materializes the first-contraction
+intermediate ``t1 [T,512,576]`` in HBM — ~9.7 GB of traffic per field pass.
+This kernel fuses all three hat-weight contractions per tile in VMEM:
+
+  per tile, per (dy,dz) neighbor block:
+      B_sub [24, 64]  <- three static row-slices of the 27-table
+      t1    [512,64]  <- Wx @ B_sub                 (MXU)
+      acc  += sum(t1 * (Wy_dy x Wz_dz), lanes)      (VPU)
+
+HBM traffic per tile per field: the 55 KB table row + 6 KB of displacements
++ 2 KB out — two orders of magnitude below the XLA path. All fields of a
+pass share the per-voxel weight matrices.
+
+Falls back to interpret mode off-TPU so the kernel is CPU-testable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hnanosolver_tpu.core.layout import TILE
+
+A = 24
+NTBL = 27 * TILE
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu" or "TPU" in str(jax.devices()[0])
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _hat(local):
+    """local [1,512] -> [512, 24] two-nonzero hat weights (in-kernel)."""
+    base = jnp.floor(local)
+    frac = (local - base).reshape(TILE, 1)
+    b = base.astype(jnp.int32).reshape(TILE, 1)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (TILE, A), 1)
+    return jnp.where(ar == b, 1.0 - frac, 0.0) + jnp.where(
+        ar == b + 1, frac, 0.0
+    )
+
+
+def _kernel(nf: int, *refs):
+    dx_ref, dy_ref, dz_ref = refs[0], refs[1], refs[2]
+    table_refs = refs[3 : 3 + nf]
+    out_refs = refs[3 + nf :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)[0]
+    cx = (col // 64).astype(jnp.float32)
+    cy = ((col // 8) % 8).astype(jnp.float32)
+    cz = (col % 8).astype(jnp.float32)
+    wx = _hat(cx + 8.0 + dx_ref[0])  # [512,24]
+    wy = _hat(cy + 8.0 + dy_ref[0])
+    wz = _hat(cz + 8.0 + dz_ref[0])
+
+    for f in range(nf):
+        tbl = table_refs[f][0]  # [27*512]
+        acc = jnp.zeros((TILE,), jnp.float32)
+        for dyz in range(9):
+            dy_i, dz_i = dyz // 3, dyz % 3
+            # B_sub [24, 64]: x-rows from the three dx neighbors at (dy,dz)
+            rows = [
+                tbl[(dxb * 9 + dy_i * 3 + dz_i) * TILE
+                    : (dxb * 9 + dy_i * 3 + dz_i + 1) * TILE].reshape(8, 64)
+                for dxb in range(3)
+            ]
+            b_sub = jnp.concatenate(rows, axis=0)  # [24, 64]
+            t1 = jnp.dot(wx, b_sub, preferred_element_type=jnp.float32)
+            wyz = (
+                wy[:, dy_i * 8 : dy_i * 8 + 8][:, :, None]
+                * wz[:, dz_i * 8 : dz_i * 8 + 8][:, None, :]
+            ).reshape(TILE, 64)
+            acc = acc + jnp.sum(t1 * wyz, axis=1)
+        out_refs[f][0] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _build(nf: int, T: int, interpret: bool):
+    d_spec = pl.BlockSpec((1, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((1, NTBL), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, nf),
+        grid=(T,),
+        in_specs=[d_spec, d_spec, d_spec] + [t_spec] * nf,
+        out_specs=[d_spec] * nf,
+        out_shape=[jax.ShapeDtypeStruct((T, TILE), jnp.float32)] * nf,
+        interpret=interpret,
+    )
+
+
+def trilinear_pallas(
+    tables: Sequence[jax.Array],
+    dx: jax.Array,
+    dy: jax.Array,
+    dz: jax.Array,
+    interpret=None,
+) -> List[jax.Array]:
+    """Drop-in replacement for ops.interp.trilinear_mxu (same contract)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    T = dx.shape[0]
+    fn = _build(len(tables), T, bool(interpret))
+    return list(fn(dx, dy, dz, *tables))

@@ -1,0 +1,40 @@
+"""MXU / Pallas trilinear samplers vs the gather formulation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnanosolver_tpu.core.topology import active_mask, build_topology_dense
+from hnanosolver_tpu.ops import shifts as sh
+from hnanosolver_tpu.ops.advection import _clamp, _corners, _sample
+from hnanosolver_tpu.ops.interp import trilinear_mxu
+from hnanosolver_tpu.ops.pallas_interp import trilinear_pallas
+
+
+def _setup(rng):
+    topo = build_topology_dense((24, 24, 24))
+    T = topo.capacity
+    m = np.asarray(active_mask(topo))[:, None]
+    f1 = (rng.standard_normal((T, 512)).astype(np.float32) * m)
+    f2 = (rng.uniform(0, 3, (T, 512)).astype(np.float32) * m)
+    dx = jnp.asarray(rng.uniform(-3, 3, (T, 512)).astype(np.float32))
+    dy = jnp.asarray(rng.uniform(-3, 3, (T, 512)).astype(np.float32))
+    dz = jnp.asarray(rng.uniform(-3, 3, (T, 512)).astype(np.float32))
+    tables = [sh.neighbor_table(topo, jnp.asarray(f)) for f in (f1, f2)]
+    want = [
+        _sample(t, _corners(_clamp(dx), _clamp(dy), _clamp(dz))) for t in tables
+    ]
+    return tables, dx, dy, dz, want
+
+
+def test_mxu_matches_gather(rng):
+    tables, dx, dy, dz, want = _setup(rng)
+    got = trilinear_mxu(tables, _clamp(dx), _clamp(dy), _clamp(dz))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_matches_gather(rng):
+    tables, dx, dy, dz, want = _setup(rng)
+    got = trilinear_pallas(tables, _clamp(dx), _clamp(dy), _clamp(dz), interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4)
