@@ -40,57 +40,67 @@ def _on_tpu() -> bool:
 
 
 def _hat(local):
-    """local [1,512] -> [512, 24] two-nonzero hat weights (in-kernel)."""
+    """local [G,512] -> [G, 512, 24] two-nonzero hat weights (in-kernel)."""
+    G = local.shape[0]
     base = jnp.floor(local)
-    frac = (local - base).reshape(TILE, 1)
-    b = base.astype(jnp.int32).reshape(TILE, 1)
-    ar = jax.lax.broadcasted_iota(jnp.int32, (TILE, A), 1)
+    frac = (local - base)[:, :, None]
+    b = base.astype(jnp.int32)[:, :, None]
+    ar = jax.lax.broadcasted_iota(jnp.int32, (G, TILE, A), 2)
     return jnp.where(ar == b, 1.0 - frac, 0.0) + jnp.where(
         ar == b + 1, frac, 0.0
     )
 
 
-def _kernel(nf: int, *refs):
+def _kernel(nf: int, G: int, *refs):
     dx_ref, dy_ref, dz_ref = refs[0], refs[1], refs[2]
     table_refs = refs[3 : 3 + nf]
     out_refs = refs[3 + nf :]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
     cx = (col // 64).astype(jnp.float32)
     cy = ((col // 8) % 8).astype(jnp.float32)
     cz = (col % 8).astype(jnp.float32)
-    wx = _hat(cx + 8.0 + dx_ref[0])  # [512,24]
-    wy = _hat(cy + 8.0 + dy_ref[0])
-    wz = _hat(cz + 8.0 + dz_ref[0])
+    wx = _hat(cx + 8.0 + dx_ref[:])  # [G,512,24]
+    wy = _hat(cy + 8.0 + dy_ref[:])
+    wz = _hat(cz + 8.0 + dz_ref[:])
 
     for f in range(nf):
-        tbl = table_refs[f][0]  # [27*512]
-        acc = jnp.zeros((TILE,), jnp.float32)
+        tbl = table_refs[f][:]  # [G, 27*512]
+        acc = jnp.zeros((G, TILE), jnp.float32)
         for dyz in range(9):
             dy_i, dz_i = dyz // 3, dyz % 3
-            # B_sub [24, 64]: x-rows from the three dx neighbors at (dy,dz)
+            # B_sub [G, 24, 64]: x-rows of the three dx neighbors at (dy,dz)
             rows = [
-                tbl[(dxb * 9 + dy_i * 3 + dz_i) * TILE
-                    : (dxb * 9 + dy_i * 3 + dz_i + 1) * TILE].reshape(8, 64)
+                tbl[:, (dxb * 9 + dy_i * 3 + dz_i) * TILE
+                    : (dxb * 9 + dy_i * 3 + dz_i + 1) * TILE].reshape(G, 8, 64)
                 for dxb in range(3)
             ]
-            b_sub = jnp.concatenate(rows, axis=0)  # [24, 64]
-            t1 = jnp.dot(wx, b_sub, preferred_element_type=jnp.float32)
+            b_sub = jnp.concatenate(rows, axis=1)  # [G, 24, 64]
+            # batched MXU matmul: [G,512,24] x [G,24,64] -> [G,512,64]
+            t1 = jax.lax.dot_general(
+                wx, b_sub,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
             wyz = (
-                wy[:, dy_i * 8 : dy_i * 8 + 8][:, :, None]
-                * wz[:, dz_i * 8 : dz_i * 8 + 8][:, None, :]
-            ).reshape(TILE, 64)
-            acc = acc + jnp.sum(t1 * wyz, axis=1)
-        out_refs[f][0] = acc
+                wy[:, :, dy_i * 8 : dy_i * 8 + 8][:, :, :, None]
+                * wz[:, :, dz_i * 8 : dz_i * 8 + 8][:, :, None, :]
+            ).reshape(G, TILE, 64)
+            acc = acc + jnp.sum(t1 * wyz, axis=2)
+        out_refs[f][:] = acc
+
+
+GROUP = 4  # tiles per program (VMEM: nf tables x 55KB x G x2 buffers + temps)
 
 
 @functools.lru_cache(maxsize=None)
 def _build(nf: int, T: int, interpret: bool):
-    d_spec = pl.BlockSpec((1, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((1, NTBL), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    G = min(GROUP, T)
+    d_spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((G, NTBL), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, nf),
-        grid=(T,),
+        functools.partial(_kernel, nf, G),
+        grid=(T // G,),
         in_specs=[d_spec, d_spec, d_spec] + [t_spec] * nf,
         out_specs=[d_spec] * nf,
         out_shape=[jax.ShapeDtypeStruct((T, TILE), jnp.float32)] * nf,
