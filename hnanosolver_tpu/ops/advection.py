@@ -114,10 +114,7 @@ def _advect_chunked(
         nbr27, vx, vy, vz = args
 
         if interp == "pallas":
-            from hnanosolver_tpu.ops.pallas_interp import trilinear_pallas
-
-            def sample_many(tables, dx, dy, dz):
-                return trilinear_pallas(tables, dx, dy, dz)
+            from hnanosolver_tpu.ops.pallas_interp import sample_fields_pallas
         elif interp == "mxu":
             def sample_many(tables, dx, dy, dz):
                 return trilinear_mxu(tables, dx, dy, dz)
@@ -130,12 +127,18 @@ def _advect_chunked(
             # RK backtrace (the reference ships rk3/rk4 integrators in
             # /root/reference/src/Cuda/Utils.cuh even though its pipeline
             # uses the 1st-order trace; trace_order=1 matches the pipeline).
-            vxt0 = table(vel[0], nbr27)
-            vyt0 = table(vel[1], nbr27)
-            vzt0 = table(vel[2], nbr27)
+            if interp == "pallas":
+                def vel_at(dx, dy, dz):
+                    return tuple(
+                        sample_fields_pallas(nbr27, [vel[0], vel[1], vel[2]], dx, dy, dz)
+                    )
+            else:
+                vxt0 = table(vel[0], nbr27)
+                vyt0 = table(vel[1], nbr27)
+                vzt0 = table(vel[2], nbr27)
 
-            def vel_at(dx, dy, dz):
-                return tuple(sample_many([vxt0, vyt0, vzt0], dx, dy, dz))
+                def vel_at(dx, dy, dz):
+                    return tuple(sample_many([vxt0, vyt0, vzt0], dx, dy, dz))
 
             if trace_order == 2:  # midpoint
                 mx, my, mz = vel_at(
@@ -166,29 +169,41 @@ def _advect_chunked(
             dy = _clamp(-vy * scaled_dt)
             dz = _clamp(-vz * scaled_dt)
         if sdf is not None:
-            sdf_t = table(sdf, nbr27)
-            d = sample_many([sdf_t], dx, dy, dz)[0]
+            if interp == "pallas":
+                d = sample_fields_pallas(nbr27, [sdf], dx, dy, dz)[0]
+            else:
+                sdf_t = table(sdf, nbr27)
+                d = sample_many([sdf_t], dx, dy, dz)[0]
             hit = d < 0.0  # backtrace entered the solid -> stay (Kernel.cu:141-155)
             dx = jnp.where(hit, 0.0, dx)
             dy = jnp.where(hit, 0.0, dy)
             dz = jnp.where(hit, 0.0, dz)
-        vel_tables = [table(vel[c], nbr27) for c in range(3)]
-        field_tables = [table(f, nbr27) for f in fields]
+        if interp == "pallas":
+            def sample_many_fields(fs, dx, dy, dz):
+                return sample_fields_pallas(nbr27, list(fs), dx, dy, dz)
+        else:
+            def sample_many_fields(fs, dx, dy, dz):
+                return sample_many([table(f, nbr27) for f in fs], dx, dy, dz)
         # one pass at the back position samples velocity AND all fields
         # (shared interpolation weights — the fused-kernel trick)
-        back_samples = sample_many(vel_tables + field_tables, dx, dy, dz)
+        back_samples = sample_many_fields(
+            [vel[0], vel[1], vel[2]] + list(fields), dx, dy, dz
+        )
         vfx, vfy, vfz = back_samples[:3]
         phis_f = back_samples[3:]
         d2x = _clamp(dx + vfx * scaled_dt)
         d2y = _clamp(dy + vfy * scaled_dt)
         d2z = _clamp(dz + vfz * scaled_dt)
         if sdf is not None:
-            d2 = sample_many([sdf_t], d2x, d2y, d2z)[0]
+            if interp == "pallas":
+                d2 = sample_fields_pallas(nbr27, [sdf], d2x, d2y, d2z)[0]
+            else:
+                d2 = sample_many([sdf_t], d2x, d2y, d2z)[0]
             hit2 = d2 < 0.0  # retrace entered the solid -> stay at backPos
             d2x = jnp.where(hit2, dx, d2x)
             d2y = jnp.where(hit2, dy, d2y)
             d2z = jnp.where(hit2, dz, d2z)
-        phis_b = sample_many(field_tables, d2x, d2y, d2z)
+        phis_b = sample_many_fields(list(fields), d2x, d2y, d2z)
         return jnp.stack(phis_f), jnp.stack(phis_b)
 
     nbr_chunks = _chunk_rows(topo, chunk)

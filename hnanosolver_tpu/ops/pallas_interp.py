@@ -4,14 +4,18 @@ The XLA formulation (ops/interp.py) materializes the first-contraction
 intermediate ``t1 [T,512,576]`` in HBM — ~9.7 GB of traffic per field pass.
 This kernel fuses all three hat-weight contractions per tile in VMEM:
 
-  per tile, per (dy,dz) neighbor block:
-      B_sub [24, 64]  <- three static row-slices of the 27-table
-      t1    [512,64]  <- Wx @ B_sub                 (MXU)
-      acc  += sum(t1 * (Wy_dy x Wz_dz), lanes)      (VPU)
+  per tile, per (dy,dz) neighbor block (fori_loop, buffers reused):
+      B_sub [24, 64]  <- three row-slices of the 27-table
+      t1    [512,64]  <- Wx @ B_sub                     (batched MXU dot)
+      acc  += sum(t1 * hat(ly,dy*8+y)*hat(lz,dz*8+z))   (VPU, closed-form)
 
-HBM traffic per tile per field: the 55 KB table row + 6 KB of displacements
-+ 2 KB out — two orders of magnitude below the XLA path. All fields of a
-pass share the per-voxel weight matrices.
+Weights use the closed-form trilinear hat ``relu(1 - |local - a|)`` — no
+one-hot construction, no reshapes (Mosaic rejects lane-splitting shape
+casts). All fields of a pass share the weights; fields iterate in a
+fori_loop over a stacked table ref so VMEM temporaries are reused.
+
+HBM traffic per tile per field: the 55 KB table row + 6 KB displacements +
+2 KB out — two orders of magnitude below the XLA path.
 
 Falls back to interpret mode off-TPU so the kernel is CPU-testable.
 """
@@ -29,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from hnanosolver_tpu.core.layout import TILE
 
 A = 24
-NTBL = 27 * TILE
+GROUP = 8  # tiles per program (TPU block shapes need >= 8 sublanes)
 
 
 def _on_tpu() -> bool:
@@ -39,71 +43,72 @@ def _on_tpu() -> bool:
         return False
 
 
-def _hat(local):
-    """local [G,512] -> [G, 512, 24] two-nonzero hat weights (in-kernel)."""
-    G = local.shape[0]
-    base = jnp.floor(local)
-    frac = (local - base)[:, :, None]
-    b = base.astype(jnp.int32)[:, :, None]
-    ar = jax.lax.broadcasted_iota(jnp.int32, (G, TILE, A), 2)
-    return jnp.where(ar == b, 1.0 - frac, 0.0) + jnp.where(
-        ar == b + 1, frac, 0.0
-    )
+def _hat_at(local, a):
+    """Closed-form trilinear hat weight: relu(1 - |local - a|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(local - a))
 
 
-def _kernel(nf: int, G: int, *refs):
-    dx_ref, dy_ref, dz_ref = refs[0], refs[1], refs[2]
-    table_refs = refs[3 : 3 + nf]
-    out_refs = refs[3 + nf :]
-
+def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
     col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
     cx = (col // 64).astype(jnp.float32)
     cy = ((col // 8) % 8).astype(jnp.float32)
     cz = (col % 8).astype(jnp.float32)
-    wx = _hat(cx + 8.0 + dx_ref[:])  # [G,512,24]
-    wy = _hat(cy + 8.0 + dy_ref[:])
-    wz = _hat(cz + 8.0 + dz_ref[:])
+    lx = (cx + 8.0 + dx_ref[:])[:, :, None]  # window coords [0,24)
+    ly = (cy + 8.0 + dy_ref[:])[:, :, None]
+    lz = (cz + 8.0 + dz_ref[:])[:, :, None]
+    ax = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2).astype(jnp.float32)
+    wx = _hat_at(lx, ax)  # [G,512,24]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
+    yl = (lane // 8).astype(jnp.float32)
+    zl = (lane % 8).astype(jnp.float32)
 
-    for f in range(nf):
-        tbl = table_refs[f][:]  # [G, 27*512]
-        acc = jnp.zeros((G, TILE), jnp.float32)
-        for dyz in range(9):
-            dy_i, dz_i = dyz // 3, dyz % 3
-            # B_sub [G, 24, 64]: x-rows of the three dx neighbors at (dy,dz)
+    def field_body(f, carry):
+        def dyz_body(dyz, acc):
+            dy_i = dyz // 3
+            dz_i = dyz % 3
             rows = [
-                tbl[:, (dxb * 9 + dy_i * 3 + dz_i) * TILE
-                    : (dxb * 9 + dy_i * 3 + dz_i + 1) * TILE].reshape(G, 8, 64)
+                tbl_ref[:, f, pl.ds((dxb * 9 + dy_i * 3 + dz_i) * 8, 8), :]
                 for dxb in range(3)
             ]
             b_sub = jnp.concatenate(rows, axis=1)  # [G, 24, 64]
-            # batched MXU matmul: [G,512,24] x [G,24,64] -> [G,512,64]
             t1 = jax.lax.dot_general(
                 wx, b_sub,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+            )  # [G,512,64]
+            wyz = _hat_at(ly, dy_i.astype(jnp.float32) * 8.0 + yl) * _hat_at(
+                lz, dz_i.astype(jnp.float32) * 8.0 + zl
             )
-            wyz = (
-                wy[:, :, dy_i * 8 : dy_i * 8 + 8][:, :, :, None]
-                * wz[:, :, dz_i * 8 : dz_i * 8 + 8][:, :, None, :]
-            ).reshape(G, TILE, 64)
-            acc = acc + jnp.sum(t1 * wyz, axis=2)
-        out_refs[f][:] = acc
+            return acc + jnp.sum(t1 * wyz, axis=2)
 
+        acc = jax.lax.fori_loop(
+            0, 9, dyz_body, jnp.zeros((G, TILE), jnp.float32)
+        )
+        out_ref[:, f, :] = acc
+        return carry
 
-GROUP = 4  # tiles per program (VMEM: nf tables x 55KB x G x2 buffers + temps)
+    jax.lax.fori_loop(0, nf, field_body, 0)
 
 
 @functools.lru_cache(maxsize=None)
 def _build(nf: int, T: int, interpret: bool):
     G = min(GROUP, T)
     d_spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((G, NTBL), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec(
+        (G, nf, 216, 64), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (G, nf, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         functools.partial(_kernel, nf, G),
         grid=(T // G,),
-        in_specs=[d_spec, d_spec, d_spec] + [t_spec] * nf,
-        out_specs=[d_spec] * nf,
-        out_shape=[jax.ShapeDtypeStruct((T, TILE), jnp.float32)] * nf,
+        in_specs=[d_spec, d_spec, d_spec, t_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((T, nf, TILE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 
@@ -115,9 +120,39 @@ def trilinear_pallas(
     dz: jax.Array,
     interpret=None,
 ) -> List[jax.Array]:
-    """Drop-in replacement for ops.interp.trilinear_mxu (same contract)."""
+    """Drop-in replacement for ops.interp.trilinear_mxu (same contract).
+    tables: list of [T, 27*512]; returns list of [T,512]."""
     if interpret is None:
         interpret = not _on_tpu()
     T = dx.shape[0]
-    fn = _build(len(tables), T, bool(interpret))
-    return list(fn(dx, dy, dz, *tables))
+    nf = len(tables)
+    fn = _build(nf, T, bool(interpret))
+    stacked = jnp.stack([t.reshape(T, 216, 64) for t in tables], axis=1)
+    out = fn(dx, dy, dz, stacked)  # [T, nf, 512]
+    return [out[:, f, :] for f in range(nf)]
+
+
+def sample_fields_pallas(
+    nbr27: jax.Array,
+    fields: Sequence[jax.Array],
+    dx: jax.Array,
+    dy: jax.Array,
+    dz: jax.Array,
+    interpret=None,
+) -> List[jax.Array]:
+    """Memory-lean entry: gathers ALL fields' 27-neighborhoods in ONE row
+    gather directly into the kernel's stacked layout (no per-field table
+    intermediates). ``nbr27 [C,27]`` neighbor rows, ``fields`` full [T,512]
+    arrays, ``dx/dy/dz [C,512]`` displacements."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    C = dx.shape[0]
+    nf = len(fields)
+    T = fields[0].shape[0]
+    flat = jnp.concatenate([f for f in fields], axis=0)  # [nf*T, 512]
+    offs = (jnp.arange(nf, dtype=jnp.int32) * T)[None, :, None]
+    idx = (nbr27[:, None, :] + offs).reshape(-1)  # [C*nf*27]
+    tbl = jnp.take(flat, idx, axis=0).reshape(C, nf, 216, 64)
+    fn = _build(nf, C, bool(interpret))
+    out = fn(dx, dy, dz, tbl)
+    return [out[:, f, :] for f in range(nf)]

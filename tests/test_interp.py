@@ -38,3 +38,22 @@ def test_pallas_matches_gather(rng):
     got = trilinear_pallas(tables, _clamp(dx), _clamp(dy), _clamp(dz), interpret=True)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-4)
+
+
+def test_advection_pallas_matches_gather(rng):
+    """Full BFECC advection with interp='pallas' (interpret mode on CPU)
+    must match the gather formulation."""
+    import jax
+
+    from hnanosolver_tpu.core.topology import build_topology_dense
+    from hnanosolver_tpu.ops.advection import _advect_chunked
+
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    m = np.asarray(active_mask(topo))[:, None]
+    vel = jnp.asarray(rng.standard_normal((3, T, 512)).astype(np.float32) * 1.5) * m[None]
+    rho = jnp.asarray(rng.uniform(0, 1, (T, 512)).astype(np.float32) * m)
+    a = _advect_chunked(topo, vel, [rho], 0.5, None, 512, 1, "gather")
+    b = _advect_chunked(topo, vel, [rho], 0.5, None, 512, 1, "pallas")
+    np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b[1]), np.asarray(a[1]), rtol=1e-4, atol=1e-4)
