@@ -42,9 +42,21 @@ from hnanosolver_tpu.core.topology import Topology
 from hnanosolver_tpu.ops import shifts as sh
 from hnanosolver_tpu.ops.interp import trilinear_mxu
 
-DEFAULT_CHUNK = 256  # tiles per lax.map chunk (bounds the MXU t1 temporary)
-INTERP = "mxu"  # "mxu": one-hot MXU contractions (fast on TPU);
-# "gather": 8-corner take_along_axis (reference formulation; slow on TPU)
+DEFAULT_CHUNK = 1024  # tiles per lax.map chunk
+# interpolation backend: "pallas" (fused VMEM kernel — fastest on TPU),
+# "mxu" (XLA one-hot contractions), "gather" (8-corner take_along_axis —
+# the reference formulation; fast on CPU, catastrophic on TPU).
+# None -> auto: pallas on TPU, gather elsewhere.
+INTERP = None
+
+
+def _default_interp() -> str:
+    try:
+        dev = jax.devices()[0]
+        on_tpu = dev.platform == "tpu" or "TPU" in str(dev)
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return "pallas" if on_tpu else "gather"
 DISP_LIMIT = 7.0 - 1e-3  # max |displacement| per axis per trace (voxels)
 
 
@@ -99,10 +111,12 @@ def _advect_chunked(
     sdf: Optional[jax.Array],
     chunk: int,
     trace_order: int = 1,
-    interp: str = INTERP,
+    interp: str | None = INTERP,
 ):
     """Core BFECC: returns (phiF, phiB) stacked [len(fields), T, 512].
     Shares trace positions and interpolation weights across all fields."""
+    if interp is None:
+        interp = _default_interp()
 
     def table(full_field, nbr27):
         C = nbr27.shape[0]

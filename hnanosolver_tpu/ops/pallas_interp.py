@@ -62,27 +62,45 @@ def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
     yl = (lane // 8).astype(jnp.float32)
     zl = (lane % 8).astype(jnp.float32)
 
+    # 128-lane variants: lane l -> (q = l//64 selects the dz sub-block,
+    # y = (l%64)//8, z = l%8). Pairing two dz blocks per dot fills the MXU's
+    # 128-lane N dimension (6 dots instead of 9 at N=64).
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    q128 = (lane128 // 64).astype(jnp.float32)
+    yl128 = ((lane128 % 64) // 8).astype(jnp.float32)
+    zl128 = (lane128 % 8).astype(jnp.float32)
+
     def field_body(f, carry):
-        def dyz_body(dyz, acc):
-            dy_i = dyz // 3
-            dz_i = dyz % 3
-            rows = [
-                tbl_ref[:, f, pl.ds((dxb * 9 + dy_i * 3 + dz_i) * 8, 8), :]
-                for dxb in range(3)
-            ]
-            b_sub = jnp.concatenate(rows, axis=1)  # [G, 24, 64]
+        def pair_body(i, acc):
+            dy_i = i // 2
+            pb = (i % 2) * 2  # dz pair base: {0,1} then {2,3}
+            rows = []
+            for half in range(2):
+                dz_i = jnp.minimum(pb + half, 2)  # dz=3 padded with dz=2 rows
+                rows += [
+                    tbl_ref[:, f, pl.ds((dxb * 9 + dy_i * 3 + dz_i) * 8, 8), :]
+                    for dxb in range(3)
+                ]
+            # interleave: first 3 chunks = dz a (lanes 0-63), next 3 = dz b
+            b_sub = jnp.concatenate(
+                [jnp.concatenate(rows[:3], axis=1),
+                 jnp.concatenate(rows[3:], axis=1)], axis=2
+            )  # [G, 24, 128]
             t1 = jax.lax.dot_general(
                 wx, b_sub,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [G,512,64]
-            wyz = _hat_at(ly, dy_i.astype(jnp.float32) * 8.0 + yl) * _hat_at(
-                lz, dz_i.astype(jnp.float32) * 8.0 + zl
+            )  # [G,512,128]
+            # hat is 0 for the padded dz=3 half automatically (positions
+            # >= 24 lie outside the sample window)
+            dzf = pb.astype(jnp.float32) + q128
+            wyz = _hat_at(ly, dy_i.astype(jnp.float32) * 8.0 + yl128) * _hat_at(
+                lz, dzf * 8.0 + zl128
             )
             return acc + jnp.sum(t1 * wyz, axis=2)
 
         acc = jax.lax.fori_loop(
-            0, 9, dyz_body, jnp.zeros((G, TILE), jnp.float32)
+            0, 6, pair_body, jnp.zeros((G, TILE), jnp.float32)
         )
         out_ref[:, f, :] = acc
         return carry
