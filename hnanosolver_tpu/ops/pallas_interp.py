@@ -62,7 +62,7 @@ def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
     yl = (lane // 8).astype(jnp.float32)
     zl = (lane % 8).astype(jnp.float32)
 
-    # 128-lane variants: lane l -> (q = l//64 selects the dz sub-block,
+    # 128-lane layout: lane l -> (q = l//64 selects the dz sub-block,
     # y = (l%64)//8, z = l%8). Pairing two dz blocks per dot fills the MXU's
     # 128-lane N dimension (6 dots instead of 9 at N=64).
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
@@ -70,18 +70,33 @@ def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
     yl128 = ((lane128 % 64) // 8).astype(jnp.float32)
     zl128 = (lane128 % 8).astype(jnp.float32)
 
-    def field_body(f, carry):
-        def pair_body(i, acc):
-            dy_i = i // 2
-            pb = (i % 2) * 2  # dz pair base: {0,1} then {2,3}
+    def zero_body(f, carry):
+        out_ref[:, f, :] = jnp.zeros((G, TILE), jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, nf, zero_body, 0)
+
+    # Static pair loop OUTSIDE the field loop: the (position-dependent,
+    # field-independent) wyz hat products are built once per pair, not once
+    # per field — they dominate VPU time otherwise.
+    for i in range(6):
+        dy_i = i // 2
+        pb = (i % 2) * 2  # dz pair base: {0,1} then {2,(3->padded)}
+        # hat is 0 for the padded dz=3 half automatically (positions >= 24
+        # lie outside the sample window)
+        wyz = _hat_at(ly, dy_i * 8.0 + yl128) * _hat_at(
+            lz, (pb + q128) * 8.0 + zl128
+        )
+
+        def field_body(f, carry):
             rows = []
             for half in range(2):
-                dz_i = jnp.minimum(pb + half, 2)  # dz=3 padded with dz=2 rows
+                dz_i = min(pb + half, 2)
                 rows += [
-                    tbl_ref[:, f, pl.ds((dxb * 9 + dy_i * 3 + dz_i) * 8, 8), :]
+                    tbl_ref[:, f, (dxb * 9 + dy_i * 3 + dz_i) * 8
+                            : (dxb * 9 + dy_i * 3 + dz_i) * 8 + 8, :]
                     for dxb in range(3)
                 ]
-            # interleave: first 3 chunks = dz a (lanes 0-63), next 3 = dz b
             b_sub = jnp.concatenate(
                 [jnp.concatenate(rows[:3], axis=1),
                  jnp.concatenate(rows[3:], axis=1)], axis=2
@@ -91,21 +106,10 @@ def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [G,512,128]
-            # hat is 0 for the padded dz=3 half automatically (positions
-            # >= 24 lie outside the sample window)
-            dzf = pb.astype(jnp.float32) + q128
-            wyz = _hat_at(ly, dy_i.astype(jnp.float32) * 8.0 + yl128) * _hat_at(
-                lz, dzf * 8.0 + zl128
-            )
-            return acc + jnp.sum(t1 * wyz, axis=2)
+            out_ref[:, f, :] += jnp.sum(t1 * wyz, axis=2)
+            return carry
 
-        acc = jax.lax.fori_loop(
-            0, 6, pair_body, jnp.zeros((G, TILE), jnp.float32)
-        )
-        out_ref[:, f, :] = acc
-        return carry
-
-    jax.lax.fori_loop(0, nf, field_body, 0)
+        jax.lax.fori_loop(0, nf, field_body, 0)
 
 
 @functools.lru_cache(maxsize=None)
