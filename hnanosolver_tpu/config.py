@@ -44,6 +44,10 @@ class SolverParams:
     # but never-implemented design). With "mg", ``iterations`` is the number
     # of V-cycles and a hierarchy must be passed to step().
     pressure_solver: str = "rbgs"
+    # "parity": f32 everywhere (<=1e-4 target vs the CUDA reference).
+    # "fast": bfloat16 MXU interpolation (~2-4x faster advection, ~4e-3
+    # relative sampling error — production-speed mode, not parity-grade).
+    precision: str = "parity"
     mg_pre: int = 2  # pre-smoothing sweeps per level
     mg_post: int = 2  # post-smoothing sweeps per level
     mg_coarsest: int = 24  # sweeps at the coarsest level

@@ -112,6 +112,7 @@ def _advect_chunked(
     chunk: int,
     trace_order: int = 1,
     interp: str | None = INTERP,
+    fast: bool = False,
 ):
     """Core BFECC: returns (phiF, phiB) stacked [len(fields), T, 512].
     Shares trace positions and interpolation weights across all fields."""
@@ -194,7 +195,7 @@ def _advect_chunked(
             dz = jnp.where(hit, 0.0, dz)
         if interp == "pallas":
             def sample_many_fields(fs, dx, dy, dz):
-                return sample_fields_pallas(nbr27, list(fs), dx, dy, dz)
+                return sample_fields_pallas(nbr27, list(fs), dx, dy, dz, fast=fast)
         else:
             def sample_many_fields(fs, dx, dy, dz):
                 return sample_many([table(f, nbr27) for f in fs], dx, dy, dz)
@@ -254,6 +255,7 @@ def advect_scalars_fused(
     sdf: Optional[jax.Array] = None,
     chunk: int = DEFAULT_CHUNK,
     trace_order: int = 1,
+    fast: bool = False,
 ) -> Dict[str, jax.Array]:
     """BFECC-advect every scalar field by ``vel`` [3,T,512], sharing trace
     corners across fields (the fused advect_scalars kernel)."""
@@ -261,7 +263,9 @@ def advect_scalars_fused(
         return {}
     names = sorted(scalars)
     fields = [scalars[n] for n in names]
-    pf, pb = _advect_chunked(topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order)
+    pf, pb = _advect_chunked(
+        topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast
+    )
     out = {}
     for i, n in enumerate(names):
         corr = pf[i] + 0.5 * (fields[i] - pb[i])
@@ -293,13 +297,16 @@ def advect_velocity(
     sdf: Optional[jax.Array] = None,
     chunk: int = DEFAULT_CHUNK,
     trace_order: int = 1,
+    fast: bool = False,
 ) -> jax.Array:
     """BFECC self-advection of velocity with per-component clamping and the
     reference's near-boundary no-slip tail (Kernel.cu:354-453)."""
     from hnanosolver_tpu.ops import collision as col
 
     fields = [vel[0], vel[1], vel[2]]
-    pf, pb = _advect_chunked(topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order)
+    pf, pb = _advect_chunked(
+        topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast
+    )
     comps = []
     for c in range(3):
         corr = pf[c] + 0.5 * (vel[c] - pb[c])

@@ -48,7 +48,7 @@ def _hat_at(local, a):
     return jnp.maximum(0.0, 1.0 - jnp.abs(local - a))
 
 
-def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
+def _kernel(nf: int, G: int, fast: bool, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
     col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
     cx = (col // 64).astype(jnp.float32)
     cy = ((col // 8) % 8).astype(jnp.float32)
@@ -58,6 +58,8 @@ def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
     lz = (cz + 8.0 + dz_ref[:])[:, :, None]
     ax = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2).astype(jnp.float32)
     wx = _hat_at(lx, ax)  # [G,512,24]
+    if fast:
+        wx = wx.astype(jnp.bfloat16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
     yl = (lane // 8).astype(jnp.float32)
     zl = (lane % 8).astype(jnp.float32)
@@ -101,6 +103,8 @@ def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
                 [jnp.concatenate(rows[:3], axis=1),
                  jnp.concatenate(rows[3:], axis=1)], axis=2
             )  # [G, 24, 128]
+            if fast:
+                b_sub = b_sub.astype(jnp.bfloat16)
             t1 = jax.lax.dot_general(
                 wx, b_sub,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -113,7 +117,7 @@ def _kernel(nf: int, G: int, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(nf: int, T: int, interpret: bool):
+def _build(nf: int, T: int, interpret: bool, fast: bool = False):
     G = min(GROUP, T)
     d_spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec(
@@ -123,7 +127,7 @@ def _build(nf: int, T: int, interpret: bool):
         (G, nf, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_kernel, nf, G),
+        functools.partial(_kernel, nf, G, fast),
         grid=(T // G,),
         in_specs=[d_spec, d_spec, d_spec, t_spec],
         out_specs=o_spec,
@@ -141,14 +145,17 @@ def trilinear_pallas(
     dy: jax.Array,
     dz: jax.Array,
     interpret=None,
+    fast: bool = False,
 ) -> List[jax.Array]:
     """Drop-in replacement for ops.interp.trilinear_mxu (same contract).
-    tables: list of [T, 27*512]; returns list of [T,512]."""
+    tables: list of [T, 27*512]; returns list of [T,512]. ``fast`` runs the
+    MXU contraction in bfloat16 (~2-4x faster; ~4e-3 relative sampling
+    error — NOT parity-grade; see SolverParams.precision)."""
     if interpret is None:
         interpret = not _on_tpu()
     T = dx.shape[0]
     nf = len(tables)
-    fn = _build(nf, T, bool(interpret))
+    fn = _build(nf, T, bool(interpret), bool(fast))
     stacked = jnp.stack([t.reshape(T, 216, 64) for t in tables], axis=1)
     out = fn(dx, dy, dz, stacked)  # [T, nf, 512]
     return [out[:, f, :] for f in range(nf)]
@@ -161,6 +168,7 @@ def sample_fields_pallas(
     dy: jax.Array,
     dz: jax.Array,
     interpret=None,
+    fast: bool = False,
 ) -> List[jax.Array]:
     """Memory-lean entry: gathers ALL fields' 27-neighborhoods in ONE row
     gather directly into the kernel's stacked layout (no per-field table
@@ -175,6 +183,6 @@ def sample_fields_pallas(
     offs = (jnp.arange(nf, dtype=jnp.int32) * T)[None, :, None]
     idx = (nbr27[:, None, :] + offs).reshape(-1)  # [C*nf*27]
     tbl = jnp.take(flat, idx, axis=0).reshape(C, nf, 216, 64)
-    fn = _build(nf, C, bool(interpret))
+    fn = _build(nf, C, bool(interpret), bool(fast))
     out = fn(dx, dy, dz, tbl)
     return [out[:, f, :] for f in range(nf)]

@@ -75,8 +75,9 @@ def step(
     if sdf is not None:
         vel = col.enforce_collision(topo, vel, sdf, inv_dx)
 
+    fast = params.precision == "fast"
     # 1-2. velocity self-advection + vorticity confinement
-    u_star = adv.advect_velocity(topo, vel, dt, inv_dx, sdf)
+    u_star = adv.advect_velocity(topo, vel, dt, inv_dx, sdf, fast=fast)
     u_star = stn.vorticity_confinement(
         topo, u_star, dt, inv_dx, c.vorticity_scale, c.factor_scale
     )
@@ -124,7 +125,9 @@ def step(
     to_advect = dict(state.scalars)
     to_advect.update(fuel=fuel, waste=waste, temperature=temp, flame=flame)
     sdf_in = to_advect.pop(COLLISION_FIELD, None)
-    advected = adv.advect_scalars_fused(topo, vel_out, to_advect, dt, inv_dx, sdf)
+    advected = adv.advect_scalars_fused(
+        topo, vel_out, to_advect, dt, inv_dx, sdf, fast=fast
+    )
     if sdf_in is not None:
         advected[COLLISION_FIELD] = sdf_in  # preserved, not zeroed (see above)
 
