@@ -53,24 +53,23 @@ def _kernel(nf: int, G: int, fast: bool, dx_ref, dy_ref, dz_ref, tbl_ref, out_re
     cx = (col // 64).astype(jnp.float32)
     cy = ((col // 8) % 8).astype(jnp.float32)
     cz = (col % 8).astype(jnp.float32)
-    lx = (cx + 8.0 + dx_ref[:])[:, :, None]  # window coords [0,24)
-    ly = (cy + 8.0 + dy_ref[:])[:, :, None]
-    lz = (cz + 8.0 + dz_ref[:])[:, :, None]
-    ax = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2).astype(jnp.float32)
-    wx = _hat_at(lx, ax)  # [G,512,24]
-    if fast:
-        wx = wx.astype(jnp.bfloat16)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
-    yl = (lane // 8).astype(jnp.float32)
-    zl = (lane % 8).astype(jnp.float32)
+    # sample positions in window coords [0,24), laid out voxel-on-lanes
+    lx = (cx + 8.0 + dx_ref[:])[:, None, :]  # [G,1,512]
+    ly = (cy + 8.0 + dy_ref[:])[:, None, :]
+    lz = (cz + 8.0 + dz_ref[:])[:, None, :]
 
-    # 128-lane layout: lane l -> (q = l//64 selects the dz sub-block,
-    # y = (l%64)//8, z = l%8). Pairing two dz blocks per dot fills the MXU's
-    # 128-lane N dimension (6 dots instead of 9 at N=64).
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
-    q128 = (lane128 // 64).astype(jnp.float32)
-    yl128 = ((lane128 % 64) // 8).astype(jnp.float32)
-    zl128 = (lane128 % 8).astype(jnp.float32)
+    # x hat weights, transposed layout [G, 24, 512] (a on sublanes)
+    a24 = jax.lax.broadcasted_iota(jnp.int32, (1, A, 1), 1).astype(jnp.float32)
+    wxT = _hat_at(lx, a24)
+    if fast:
+        wxT = wxT.astype(jnp.bfloat16)
+
+    # per-sublane (q, y, z) indices of the 128-row (2 dz-blocks x 8y x 8z)
+    # wyz operand
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 1), 1)
+    qs = (sub // 64).astype(jnp.float32)
+    ys = ((sub % 64) // 8).astype(jnp.float32)
+    zs = (sub % 8).astype(jnp.float32)
 
     def zero_body(f, carry):
         out_ref[:, f, :] = jnp.zeros((G, TILE), jnp.float32)
@@ -78,17 +77,16 @@ def _kernel(nf: int, G: int, fast: bool, dx_ref, dy_ref, dz_ref, tbl_ref, out_re
 
     jax.lax.fori_loop(0, nf, zero_body, 0)
 
-    # Static pair loop OUTSIDE the field loop: the (position-dependent,
-    # field-independent) wyz hat products are built once per pair, not once
-    # per field — they dominate VPU time otherwise.
+    # Static pair loop OUTSIDE the field loop: wyzT is position-dependent
+    # but field-independent; (y,z) contraction runs on the MXU with K=128.
     for i in range(6):
         dy_i = i // 2
-        pb = (i % 2) * 2  # dz pair base: {0,1} then {2,(3->padded)}
-        # hat is 0 for the padded dz=3 half automatically (positions >= 24
-        # lie outside the sample window)
-        wyz = _hat_at(ly, dy_i * 8.0 + yl128) * _hat_at(
-            lz, (pb + q128) * 8.0 + zl128
-        )
+        pb = (i % 2) * 2  # dz pair base: {0,1} then {2,(3 -> hat weight 0)}
+        wyzT = _hat_at(ly, dy_i * 8.0 + ys) * _hat_at(
+            lz, (pb + qs) * 8.0 + zs
+        )  # [G, 128, 512]
+        if fast:
+            wyzT = wyzT.astype(jnp.bfloat16)
 
         def field_body(f, carry):
             rows = []
@@ -105,12 +103,14 @@ def _kernel(nf: int, G: int, fast: bool, dx_ref, dy_ref, dz_ref, tbl_ref, out_re
             )  # [G, 24, 128]
             if fast:
                 b_sub = b_sub.astype(jnp.bfloat16)
+            # MXU: contract the 128 (y,z) rows -> [G, 24, 512]
             t1 = jax.lax.dot_general(
-                wx, b_sub,
+                b_sub, wyzT,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [G,512,128]
-            out_ref[:, f, :] += jnp.sum(t1 * wyz, axis=2)
+            )
+            # tiny VPU reduce over the 24 x-window sublanes
+            out_ref[:, f, :] += jnp.sum(wxT.astype(jnp.float32) * t1, axis=1)
             return carry
 
         jax.lax.fori_loop(0, nf, field_body, 0)
