@@ -35,6 +35,14 @@ def _color_sweep(topo, p, div, dx2, omega, color_mask):
     return jnp.where(color_mask, p + omega * (pgs - p), p)
 
 
+def _on_tpu() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return dev.platform == "tpu" or "TPU" in str(dev)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def solve_pressure(
     topo: Topology,
     div: jax.Array,
@@ -42,9 +50,19 @@ def solve_pressure(
     dx: float,
     omega: float,
     p0: jax.Array | None = None,
+    backend: str | None = None,
 ) -> jax.Array:
     """Run ``iterations`` red+black SOR sweeps from p0 (zeros by default).
-    div, p: [T,512]."""
+    div, p: [T,512]. ``backend``: "pallas" (fused sweep kernel; auto on
+    TPU), "xla" (roll+select formulation; auto elsewhere)."""
+    if backend is None:
+        backend = "pallas" if _on_tpu() else "xla"
+    if backend == "pallas":
+        from hnanosolver_tpu.ops.pallas_pressure import solve_pressure_pallas
+
+        return solve_pressure_pallas(
+            topo, div, iterations, dx, omega, p0=p0, interpret=not _on_tpu()
+        )
     dx2 = dx * dx
     red = parity_flat(topo) == 0
     p = jnp.zeros_like(div) if p0 is None else p0
