@@ -86,6 +86,30 @@ def cmd_plume(args):
     print(f"done: {args.frames} frames in {time.perf_counter() - t0:.1f}s")
 
 
+def cmd_fire(args):
+    from hnanosolver_tpu.io.state import save_npz
+    from hnanosolver_tpu.models.fire import FireConfig, default_params, run_fire
+
+    params = default_params().replace(
+        dt=args.timestep, voxel_size=args.voxel_size, iterations=args.iterations
+    )
+    cfg = FireConfig(center=tuple(args.center), radius=args.radius)
+    os.makedirs(args.out, exist_ok=True)
+
+    def on_frame(f, topo, state):
+        if args.ckpt_every and (f + 1) % args.ckpt_every == 0:
+            save_npz(os.path.join(args.out, f"fire_{f + 1:04d}.npz"),
+                     topo, state, params, frame=f + 1)
+        if args.render and (f + 1) % args.render_every == 0:
+            from hnanosolver_tpu.viewer.render import render_state, write_png
+
+            img = render_state(topo, state, tuple(args.view_box))
+            write_png(os.path.join(args.out, f"fire_{f + 1:04d}.png"), img)
+        print(f"frame {f + 1}/{args.frames}: {int(topo.n_active)} tiles", flush=True)
+
+    run_fire(args.frames, params=params, cfg=cfg, on_frame=on_frame)
+
+
 def cmd_resume(args):
     from hnanosolver_tpu.core.activation import expand_for_state
     from hnanosolver_tpu.io.state import load_npz, save_npz
@@ -121,6 +145,18 @@ def main(argv=None):
     p.add_argument("--render-every", type=int, default=1)
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
     p.set_defaults(fn=cmd_plume)
+
+    p = sub.add_parser("fire", help="run the fire/combustion scenario")
+    _add_solver_args(p)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--center", type=float, nargs=3, default=[64.0, 8.0, 64.0])
+    p.add_argument("--radius", type=float, default=14.0)
+    p.add_argument("--out", default="out")
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--render-every", type=int, default=1)
+    p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
+    p.set_defaults(fn=cmd_fire)
 
     p = sub.add_parser("resume", help="resume from an .npz checkpoint")
     _add_solver_args(p)
