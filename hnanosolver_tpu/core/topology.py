@@ -80,11 +80,17 @@ _NBR_OFFSETS = np.array(
 
 
 def _round_capacity(n: int) -> int:
-    """Next power-of-two-ish capacity (1 + active + slack) to amortize growth."""
-    cap = 16
-    while cap < n + 1:
-        cap *= 2
-    return cap
+    """Capacity for n active tiles (+ null row). Power-of-two up to 2048 to
+    amortize growth recompiles; beyond that, 25% slack rounded to a multiple
+    of 2048 (power-of-two doubling wasted ~2x memory AND compute at large
+    tile counts — every op runs over capacity rows)."""
+    need = n + 1
+    if need <= 2048:
+        cap = 16
+        while cap < need:
+            cap *= 2
+        return cap
+    return ((int(need * 1.25) + 2047) // 2048) * 2048
 
 
 def build_topology(
