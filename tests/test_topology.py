@@ -129,3 +129,18 @@ def test_pytree_roundtrip():
     topo2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(topo2, Topology)
     assert topo2.n_active == topo.n_active
+
+
+def test_large_capacity_policy_divisibility():
+    """Above 2048 tiles, capacity uses 25% slack rounded to 2048 — and must
+    stay divisible by the advection chunk and pallas group sizes."""
+    from hnanosolver_tpu.core.topology import _round_capacity
+
+    for n in (2100, 4196, 33656, 100000):
+        cap = _round_capacity(n)
+        assert cap >= n + 1
+        assert cap % 2048 == 0
+        assert cap <= (n + 1) * 1.25 + 2048
+    # small counts stay power-of-two
+    assert _round_capacity(5) == 16
+    assert _round_capacity(1000) == 1024
