@@ -30,7 +30,7 @@ import numpy as np
 
 ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
 RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
-CHAIN = 4  # steps per timed device program
+CHAIN = 8  # steps per timed device program (16+ tripped the worker watchdog)
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
