@@ -30,7 +30,7 @@ import numpy as np
 
 ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
 RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
-CHAIN = 8  # steps per timed device program (16+ tripped the worker watchdog)
+CHAIN = 10  # longest timed chain (16+ tripped the worker watchdog)
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
@@ -51,7 +51,11 @@ def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=1
     return np.array(tiles, np.int32)
 
 
-def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=3):
+def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=4):
+    """Slope between a 2-step and a ``chain_len``-step device program, each
+    min-of-``repeats`` — the only estimator that survived the tunnel's
+    +-0.5-1 s per-call jitter (single-call diffs mismeasured by up to 10x
+    in BOTH directions during round-1 tuning)."""
     import jax.numpy as jnp
 
     from hnanosolver_tpu.models.plume import plume_step
@@ -63,10 +67,10 @@ def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=3):
     def pull(tree):
         np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[:1]
 
-    one = jnp.asarray(1)
-    k = jnp.asarray(chain_len)
-    pull(chain(state, one))  # compile + warm
-    pull(chain(state, k))
+    k_lo = jnp.asarray(2)
+    k_hi = jnp.asarray(chain_len)
+    pull(chain(state, k_lo))  # compile + warm
+    pull(chain(state, k_hi))
 
     def best(n):
         b = float("inf")
@@ -76,9 +80,9 @@ def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=3):
             b = min(b, time.perf_counter() - t0)
         return b
 
-    t1 = best(one)
-    tn = best(k)
-    return max(tn - t1, 1e-9) / (chain_len - 1)
+    t_lo = best(k_lo)
+    t_hi = best(k_hi)
+    return max(t_hi - t_lo, 1e-9) / (chain_len - 2)
 
 
 def main():
