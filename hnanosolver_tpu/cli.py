@@ -110,6 +110,26 @@ def cmd_fire(args):
     run_fire(args.frames, params=params, cfg=cfg, on_frame=on_frame)
 
 
+def cmd_bench_report(args):
+    """Per-phase step timing table — the CLI face of the reference's
+    per-kernel ScopedTimerGPU printouts
+    (`/root/reference/src/Cuda/Utils.cuh:246-277`)."""
+    from hnanosolver_tpu.core.topology import build_topology_dense
+    from hnanosolver_tpu.fields import zeros_state
+    from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
+    from hnanosolver_tpu.utils.phase_profile import markdown_table, profile
+
+    params = _params(args)
+    n = max(args.size - args.size % 8, 8)
+    topo = build_topology_dense((n, n, n))
+    cfg = PlumeConfig(center=(n / 2.0, n / 8.0, n / 2.0), radius=n / 8.0)
+    state = zeros_state(topo)
+    for _ in range(max(args.frames, 1)):
+        state = plume_step(topo, state, params, cfg)
+    times = profile(topo, state, params, hi=args.chain)
+    print(markdown_table(times, topo.num_voxels))
+
+
 def cmd_resume(args):
     from hnanosolver_tpu.core.activation import expand_for_state
     from hnanosolver_tpu.io.state import load_npz, save_npz
@@ -157,6 +177,15 @@ def main(argv=None):
     p.add_argument("--render-every", type=int, default=1)
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
     p.set_defaults(fn=cmd_fire)
+
+    p = sub.add_parser(
+        "bench-report", help="per-phase step timing table (dense box domain)"
+    )
+    _add_solver_args(p)
+    p.add_argument("--frames", type=int, default=2, help="warm-up steps")
+    p.add_argument("--size", type=int, default=64, help="domain edge (voxels)")
+    p.add_argument("--chain", type=int, default=10, help="long-chain length")
+    p.set_defaults(fn=cmd_bench_report)
 
     p = sub.add_parser("resume", help="resume from an .npz checkpoint")
     _add_solver_args(p)

@@ -77,10 +77,14 @@ def topology_from_mask(
         )
         tiles = (tiles[:, None, :] + offs[None, :, :]).reshape(-1, 3)
     cap = max(topo.capacity, min_capacity or 0)
-    # grow capacity if needed (doubling happens inside build via _round)
+    # Grow via the same slack policy as initial builds (topology._round_capacity:
+    # pow2 below 2048 tiles, 25% slack above) — in-run growth previously doubled,
+    # silently forfeiting the measured 1.4x slack win on growing sims.
     n_unique = len(np.unique(C.pack_keys_np(tiles))) if len(tiles) else 0
-    while cap < n_unique + 1:
-        cap *= 2
+    if cap < n_unique + 1:
+        from hnanosolver_tpu.core.topology import _round_capacity
+
+        cap = max(cap, _round_capacity(n_unique))
     return build_topology(tiles, capacity=cap)
 
 

@@ -113,9 +113,12 @@ def _advect_chunked(
     trace_order: int = 1,
     interp: str | None = INTERP,
     fast: bool = False,
+    fields_are_velocity: bool = False,
 ):
     """Core BFECC: returns (phiF, phiB) stacked [len(fields), T, 512].
-    Shares trace positions and interpolation weights across all fields."""
+    Shares trace positions and interpolation weights across all fields.
+    ``fields_are_velocity``: the advected fields ARE the velocity components
+    (self-advection), so the back-position pass samples them once, not twice."""
     if interp is None:
         interp = _default_interp()
 
@@ -200,12 +203,18 @@ def _advect_chunked(
             def sample_many_fields(fs, dx, dy, dz):
                 return sample_many([table(f, nbr27) for f in fs], dx, dy, dz)
         # one pass at the back position samples velocity AND all fields
-        # (shared interpolation weights — the fused-kernel trick)
-        back_samples = sample_many_fields(
-            [vel[0], vel[1], vel[2]] + list(fields), dx, dy, dz
-        )
-        vfx, vfy, vfz = back_samples[:3]
-        phis_f = back_samples[3:]
+        # (shared interpolation weights — the fused-kernel trick); for
+        # self-advection the fields ARE the velocity, so sample them once
+        if fields_are_velocity:
+            back_samples = sample_many_fields(list(fields), dx, dy, dz)
+            vfx, vfy, vfz = back_samples[:3]
+            phis_f = back_samples
+        else:
+            back_samples = sample_many_fields(
+                [vel[0], vel[1], vel[2]] + list(fields), dx, dy, dz
+            )
+            vfx, vfy, vfz = back_samples[:3]
+            phis_f = back_samples[3:]
         d2x = _clamp(dx + vfx * scaled_dt)
         d2y = _clamp(dy + vfy * scaled_dt)
         d2z = _clamp(dz + vfz * scaled_dt)
@@ -305,7 +314,8 @@ def advect_velocity(
 
     fields = [vel[0], vel[1], vel[2]]
     pf, pb = _advect_chunked(
-        topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast
+        topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast,
+        fields_are_velocity=True,
     )
     comps = []
     for c in range(3):

@@ -79,22 +79,26 @@ def _kernel(nf: int, G: int, fast: bool, dx_ref, dy_ref, dz_ref, tbl_ref, out_re
 
     # Static pair loop OUTSIDE the field loop: wyzT is position-dependent
     # but field-independent; (y,z) contraction runs on the MXU with K=128.
-    for i in range(6):
-        dy_i = i // 2
-        pb = (i % 2) * 2  # dz pair base: {0,1} then {2,(3 -> hat weight 0)}
-        wyzT = _hat_at(ly, dy_i * 8.0 + ys) * _hat_at(
-            lz, (pb + qs) * 8.0 + zs
+    # The 9 (dy,dz) blocks pair into 5 dots (the 10th slot is dead: its
+    # hat weight is zeroed via the q mask), not 3x2 dy-major pairs — that
+    # wasted a full zero-weight block, 1/6 of the MXU work.
+    for i in range(5):
+        b0, b1 = 2 * i, min(2 * i + 1, 8)  # (dy,dz) block ids: b = dy*3+dz
+        dy_q = (1.0 - qs) * (b0 // 3) + qs * (b1 // 3)
+        dz_q = (1.0 - qs) * (b0 % 3) + qs * (b1 % 3)
+        wyzT = _hat_at(ly, dy_q * 8.0 + ys) * _hat_at(
+            lz, dz_q * 8.0 + zs
         )  # [G, 128, 512]
+        if 2 * i + 1 > 8:  # odd slot dead: zero its duplicated weights
+            wyzT = wyzT * (1.0 - qs)
         if fast:
             wyzT = wyzT.astype(jnp.bfloat16)
 
         def field_body(f, carry):
             rows = []
-            for half in range(2):
-                dz_i = min(pb + half, 2)
+            for b_h in (b0, b1):
                 rows += [
-                    tbl_ref[:, f, (dxb * 9 + dy_i * 3 + dz_i) * 8
-                            : (dxb * 9 + dy_i * 3 + dz_i) * 8 + 8, :]
+                    tbl_ref[:, f, (dxb * 9 + b_h) * 8 : (dxb * 9 + b_h) * 8 + 8, :]
                     for dxb in range(3)
                 ]
             b_sub = jnp.concatenate(
