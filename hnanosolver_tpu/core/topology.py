@@ -48,6 +48,15 @@ class Topology:
     # activation within a fixed capacity therefore never recompiles —
     # only capacity growth does (the replacement for the reference's
     # per-cook voxelsToGrid rebuild).
+    #
+    # Sampling chunk plan (built host-side by build_topology; None when a
+    # Topology is assembled by other paths, in which case samplers fall
+    # back to the full 27-table): tiles are processed in contiguous chunks
+    # of SAMPLE_CHUNK rows; chunk_uniq[c] lists the sorted unique tile rows
+    # of chunk c's 27-neighborhoods (the VMEM-resident working set, ~2x the
+    # chunk instead of 27x), chunk_lnbr remaps nbr into chunk-local indices.
+    chunk_uniq: Optional[jax.Array] = None  # [n_chunks, U] int32 global rows
+    chunk_lnbr: Optional[jax.Array] = None  # [T, 27] int32 chunk-local rows
 
     @property
     def capacity(self) -> int:
@@ -59,13 +68,20 @@ class Topology:
         Host-side only (concretizes n_active)."""
         return int(self.n_active) * C.TILE_VOXELS
 
+    @property
+    def sample_chunk(self) -> int:
+        """Tiles per sampling chunk (capacity // n_chunks)."""
+        return self.capacity // self.chunk_uniq.shape[0]
+
     def tree_flatten(self):
-        return (self.keys, self.origins, self.nbr, self.n_active), ()
+        return (
+            self.keys, self.origins, self.nbr, self.n_active,
+            self.chunk_uniq, self.chunk_lnbr,
+        ), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, origins, nbr, n_active = children
-        return cls(keys=keys, origins=origins, nbr=nbr, n_active=n_active)
+        return cls(*children)
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +107,36 @@ def _round_capacity(n: int) -> int:
             cap *= 2
         return cap
     return ((int(need * 1.25) + 2047) // 2048) * 2048
+
+
+SAMPLE_CHUNK = 512  # tiles per sampling chunk (VMEM-sized working sets)
+
+
+def _chunk_plan(nbr: np.ndarray, capacity: int):
+    """Per-chunk unique 27-neighborhood working sets + local remap.
+
+    Returns (chunk_uniq [n_chunks, U], chunk_lnbr [T, 27]) — see Topology.
+    U is the max unique count over chunks, rounded up to a multiple of 8;
+    padding entries point at the null row 0 (harmless duplicate gathers).
+    """
+    C_ = min(SAMPLE_CHUNK, capacity)
+    nc = capacity // C_
+    uniqs = []
+    U = 0
+    for c in range(nc):
+        u = np.unique(np.concatenate([[0], nbr[c * C_ : (c + 1) * C_].ravel()]))
+        uniqs.append(u)
+        U = max(U, len(u))
+    U = ((U + 7) // 8) * 8
+    uq = np.zeros((nc, U), np.int32)
+    ln = np.zeros((capacity, 27), np.int32)
+    for c in range(nc):
+        u = uniqs[c]
+        uq[c, : len(u)] = u
+        ln[c * C_ : (c + 1) * C_] = np.searchsorted(
+            u, nbr[c * C_ : (c + 1) * C_]
+        ).astype(np.int32)
+    return uq, ln
 
 
 def build_topology(
@@ -138,11 +184,14 @@ def build_topology(
         found = keys_np[pos_c] == nbr_keys
         nbr[1 : n + 1] = np.where(found, pos_c + 1, 0).astype(np.int32)
 
+    uq, ln = _chunk_plan(nbr, cap)
     return Topology(
         keys=jnp.asarray(full_keys),
         origins=jnp.asarray(origins),
         nbr=jnp.asarray(nbr),
         n_active=jnp.asarray(n, jnp.int32),
+        chunk_uniq=jnp.asarray(uq),
+        chunk_lnbr=jnp.asarray(ln),
     )
 
 

@@ -42,21 +42,30 @@ from hnanosolver_tpu.core.topology import Topology
 from hnanosolver_tpu.ops import shifts as sh
 from hnanosolver_tpu.ops.interp import trilinear_mxu
 
-DEFAULT_CHUNK = 1024  # tiles per lax.map chunk
-# interpolation backend: "pallas" (fused VMEM kernel — fastest on TPU),
-# "mxu" (XLA one-hot contractions), "gather" (8-corner take_along_axis —
-# the reference formulation; fast on CPU, catastrophic on TPU).
-# None -> auto: pallas on TPU, gather elsewhere.
+DEFAULT_CHUNK = 1024  # tiles per lax.map chunk (legacy pallas/mxu paths)
+# interpolation backend:
+#   "vmem"   — chunked unique-row tables resident in VMEM, one gather per
+#              advection reused by all passes (ops/pallas_interp2; fastest)
+#   "pallas" — per-tile 27-table kernel fed by a 27x XLA gather (round 1)
+#   "mxu"    — XLA one-hot contractions
+#   "gather" — 8-corner take_along_axis (the reference formulation; fast on
+#              CPU, catastrophic on TPU)
+# None -> auto: vmem on TPU (pallas if the topology has no chunk plan),
+# gather elsewhere.
 INTERP = None
 
 
-def _default_interp() -> str:
+def _default_interp(topo: Optional[Topology] = None) -> str:
     try:
         dev = jax.devices()[0]
         on_tpu = dev.platform == "tpu" or "TPU" in str(dev)
     except Exception:  # pragma: no cover
         on_tpu = False
-    return "pallas" if on_tpu else "gather"
+    if not on_tpu:
+        return "gather"
+    if topo is not None and topo.chunk_uniq is None:
+        return "pallas"
+    return "vmem"
 DISP_LIMIT = 7.0 - 1e-3  # max |displacement| per axis per trace (voxels)
 
 
@@ -103,6 +112,83 @@ def _chunk_rows(topo: Topology, chunk: int):
     return topo.nbr.reshape(T // c, c, 27)
 
 
+def _advect_vmem(
+    topo: Topology,
+    vel: jax.Array,
+    fields: Sequence[jax.Array],
+    scaled_dt: float,
+    sdf: Optional[jax.Array],
+    trace_order: int = 1,
+    fast: bool = False,
+    fields_are_velocity: bool = False,
+):
+    """BFECC sampling via the chunked VMEM sampler (ops/pallas_interp2):
+    ONE unique-row gather per advection, reused by every sampling pass."""
+    from hnanosolver_tpu.ops import pallas_interp2 as pi2
+
+    base = [vel[0], vel[1], vel[2]]
+    if not fields_are_velocity:
+        base += list(fields)
+    nb = len(base)
+    tables = pi2.build_tables(topo, base)
+    sdf_tables = pi2.build_tables(topo, [sdf]) if sdf is not None else None
+
+    def vel_at(dx, dy, dz):
+        return pi2.sample_tables(topo, tables, 0, 3, dx, dy, dz, fast)
+
+    dx = _clamp(-vel[0] * scaled_dt)
+    dy = _clamp(-vel[1] * scaled_dt)
+    dz = _clamp(-vel[2] * scaled_dt)
+    if trace_order == 2:  # midpoint
+        mx, my, mz = vel_at(
+            _clamp(-0.5 * vel[0] * scaled_dt),
+            _clamp(-0.5 * vel[1] * scaled_dt),
+            _clamp(-0.5 * vel[2] * scaled_dt),
+        )
+        dx = _clamp(-mx * scaled_dt)
+        dy = _clamp(-my * scaled_dt)
+        dz = _clamp(-mz * scaled_dt)
+    elif trace_order >= 3:  # RK3 (Ralston)
+        k1x, k1y, k1z = vel[0], vel[1], vel[2]
+        k2x, k2y, k2z = vel_at(
+            _clamp(-0.5 * k1x * scaled_dt),
+            _clamp(-0.5 * k1y * scaled_dt),
+            _clamp(-0.5 * k1z * scaled_dt),
+        )
+        k3x, k3y, k3z = vel_at(
+            _clamp(-0.75 * k2x * scaled_dt),
+            _clamp(-0.75 * k2y * scaled_dt),
+            _clamp(-0.75 * k2z * scaled_dt),
+        )
+        dx = _clamp(-(2 * k1x + 3 * k2x + 4 * k3x) / 9.0 * scaled_dt)
+        dy = _clamp(-(2 * k1y + 3 * k2y + 4 * k3y) / 9.0 * scaled_dt)
+        dz = _clamp(-(2 * k1z + 3 * k2z + 4 * k3z) / 9.0 * scaled_dt)
+
+    if sdf is not None:
+        d = pi2.sample_tables(topo, sdf_tables, 0, 1, dx, dy, dz)[0]
+        hit = d < 0.0  # backtrace entered the solid (Kernel.cu:141-155)
+        dx = jnp.where(hit, 0.0, dx)
+        dy = jnp.where(hit, 0.0, dy)
+        dz = jnp.where(hit, 0.0, dz)
+
+    back = pi2.sample_tables(topo, tables, 0, nb, dx, dy, dz, fast)
+    vfx, vfy, vfz = back[:3]
+    phis_f = back if fields_are_velocity else back[3:]
+
+    d2x = _clamp(dx + vfx * scaled_dt)
+    d2y = _clamp(dy + vfy * scaled_dt)
+    d2z = _clamp(dz + vfz * scaled_dt)
+    if sdf is not None:
+        d2 = pi2.sample_tables(topo, sdf_tables, 0, 1, d2x, d2y, d2z)[0]
+        hit2 = d2 < 0.0  # retrace entered the solid -> stay at backPos
+        d2x = jnp.where(hit2, dx, d2x)
+        d2y = jnp.where(hit2, dy, d2y)
+        d2z = jnp.where(hit2, dz, d2z)
+    lo = 0 if fields_are_velocity else 3
+    phis_b = pi2.sample_tables(topo, tables, lo, nb, d2x, d2y, d2z, fast)
+    return jnp.stack(phis_f), jnp.stack(phis_b)
+
+
 def _advect_chunked(
     topo: Topology,
     vel: jax.Array,
@@ -120,7 +206,15 @@ def _advect_chunked(
     ``fields_are_velocity``: the advected fields ARE the velocity components
     (self-advection), so the back-position pass samples them once, not twice."""
     if interp is None:
-        interp = _default_interp()
+        interp = _default_interp(topo)
+    if interp == "vmem":
+        if topo.chunk_uniq is None:
+            interp = "pallas"  # no chunk plan on this topology
+        else:
+            return _advect_vmem(
+                topo, vel, fields, scaled_dt, sdf, trace_order, fast,
+                fields_are_velocity,
+            )
 
     def table(full_field, nbr27):
         C = nbr27.shape[0]

@@ -52,6 +52,11 @@ def main():
         path = os.path.join(CMD_DIR, names[0])
         with open(path) as f:
             src = f.read()
+        # pick up repo edits: purge project modules so each job re-imports
+        if "KEEP_MODULES" not in src:
+            for m in list(sys.modules):
+                if m.startswith("hnanosolver_tpu") or m == "bench":
+                    del sys.modules[m]
         results: list = []
         ns["out"] = results.append
         buf = io.StringIO()
