@@ -93,9 +93,13 @@ def emit(topo: Topology, state: FieldState, cfg: FireConfig, dt: float) -> Field
 
 @partial(jax.jit, static_argnames=("params", "cfg"))
 def fire_step(
-    topo: Topology, state: FieldState, params: SolverParams, cfg: FireConfig
+    topo: Topology,
+    state: FieldState,
+    params: SolverParams,
+    cfg: FireConfig,
+    hierarchy: tuple = (),
 ) -> FieldState:
-    return step(topo, emit(topo, state, cfg, params.dt), params)
+    return step(topo, emit(topo, state, cfg, params.dt), params, hierarchy)
 
 
 def run_fire(frames: int, params=None, cfg=None, topo=None, state=None,
@@ -105,13 +109,19 @@ def run_fire(frames: int, params=None, cfg=None, topo=None, state=None,
     if topo is None:
         topo, state = initial(cfg)
     keep = burner_tiles(cfg)
+    from hnanosolver_tpu.ops.multigrid import hierarchy_for
+
+    hier = hierarchy_for(topo, params)
     for f in range(frames):
-        state = fire_step(topo, state, params, cfg)
+        state = fire_step(topo, state, params, cfg, hier)
         if grow_every and (f + 1) % grow_every == 0:
+            prev = topo
             topo, state = expand_for_state(
                 topo, state, threshold=cfg.occupancy_threshold,
                 radius=cfg.dilate_radius, keep_tiles=keep,
             )
+            if topo is not prev:
+                hier = hierarchy_for(topo, params)
         if on_frame is not None:
             on_frame(f, topo, state)
     return topo, state

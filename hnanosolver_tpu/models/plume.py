@@ -94,11 +94,17 @@ def emit(topo: Topology, state: FieldState, cfg: PlumeConfig, dt: float) -> Fiel
 
 @partial(jax.jit, static_argnames=("params", "cfg"))
 def plume_step(
-    topo: Topology, state: FieldState, params: SolverParams, cfg: PlumeConfig
+    topo: Topology,
+    state: FieldState,
+    params: SolverParams,
+    cfg: PlumeConfig,
+    hierarchy: tuple = (),
 ) -> FieldState:
-    """Emit + one full solver step: the flagship jittable forward function."""
+    """Emit + one full solver step: the flagship jittable forward function.
+    ``hierarchy``: from ``ops.multigrid.hierarchy_for`` when params selects
+    the multigrid pressure solver."""
     state = emit(topo, state, cfg, params.dt)
-    return step(topo, state, params)
+    return step(topo, state, params, hierarchy)
 
 
 def run_plume(
@@ -119,9 +125,13 @@ def run_plume(
     if state is None:
         state = initial_state(topo)
     keep = emitter_tiles(cfg, pad=1)
+    from hnanosolver_tpu.ops.multigrid import hierarchy_for
+
+    hier = hierarchy_for(topo, params)
     for f in range(frames):
-        state = plume_step(topo, state, params, cfg)
+        state = plume_step(topo, state, params, cfg, hier)
         if grow_every and (f + 1) % grow_every == 0:
+            prev = topo
             topo, state = expand_for_state(
                 topo,
                 state,
@@ -129,6 +139,8 @@ def run_plume(
                 radius=cfg.dilate_radius,
                 keep_tiles=keep,
             )
+            if topo is not prev:
+                hier = hierarchy_for(topo, params)
         if on_frame is not None:
             on_frame(f, topo, state)
     return topo, state

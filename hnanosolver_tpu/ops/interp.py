@@ -77,6 +77,9 @@ def trilinear_mxu(
             wx, B,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            # TPU DEFAULT matmul precision is one bf16 pass; this path is
+            # parity-grade, so force true-f32 accumulation
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(C, TILE, A, A)
         t2 = jnp.sum(t1 * wy[:, :, :, None], axis=2)  # [C,512,24]
         outs.append(jnp.sum(t2 * wz, axis=2))  # [C,512]

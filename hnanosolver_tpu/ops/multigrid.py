@@ -11,8 +11,10 @@ implements it for real, TPU-style:
   prolongation are pure row-gathers + reshapes (no element gathers).
 - Restriction: 2x2x2 averaging (full-weighting lite — exactly the
   reference's restrict_to_4x4x4 scheme at tile scale).
-- Prolongation: piecewise-constant injection (the standard pairing with a
-  red-black smoother; trilinear is a planned refinement).
+- Prolongation: trilinear (cell-centered) by default — per-axis even/odd
+  1-D interpolants evaluated on the coarse grid (6 shifted views per
+  doubling) then an octant gather, so cross-tile interpolation costs row
+  gathers only. Piecewise-constant injection remains as ``prolong``.
 - Smoother: the same red-black SOR sweep as the direct solver
   (ops/pressure.py), so a 0-level hierarchy degenerates to plain RBGS.
 
@@ -33,20 +35,29 @@ import numpy as np
 from hnanosolver_tpu.core import coords as C
 from hnanosolver_tpu.core.topology import Topology, build_topology
 from hnanosolver_tpu.ops import pressure as prs
+from hnanosolver_tpu.ops import shifts as sh
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class MGLevel:
-    """One coarse level: its topology plus child/parent row maps."""
+    """One coarse level: its topology plus child/parent row maps.
+
+    ``mask`` marks coarse voxels whose child fine tile exists (each coarse
+    voxel's 2^3 fine voxels lie in exactly one child tile, so this is the
+    EXACT fine domain geometry at half resolution). Without it the coarse
+    solve runs on the dilated coarse-tile domain — a different BVP whose
+    corrections overshoot at sparse boundaries (measured: V-cycles diverge
+    on the 256^3 plume cone)."""
 
     topo: Topology
     children: jax.Array  # [Tc, 8] fine-level rows per octant (0 = absent)
     parent: jax.Array  # [Tf] coarse-level row of each fine tile (0 = none)
     octant: jax.Array  # [Tf] in {0..7}: (tx&1)*4 + (ty&1)*2 + (tz&1)
+    mask: jax.Array  # [Tc, 512] f32: 1 where the covering child tile exists
 
     def tree_flatten(self):
-        return (self.topo, self.children, self.parent, self.octant), ()
+        return (self.topo, self.children, self.parent, self.octant, self.mask), ()
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -77,16 +88,33 @@ def build_hierarchy(topo: Topology, levels: int) -> List[MGLevel]:
         children = np.zeros((coarse.capacity, 8), np.int32)
         children[prow, oct_[1 : nf + 1]] = np.arange(1, nf + 1, dtype=np.int32)
 
+        # coarse voxel mask: octant (cx,cy,cz) of the 8^3 tile covers local
+        # block [cx*4:(cx+1)*4, ...]; active iff that child tile exists
+        present = (children > 0).astype(np.float32).reshape(
+            coarse.capacity, 2, 2, 2
+        )
+        mask = np.repeat(np.repeat(np.repeat(present, 4, 1), 4, 2), 4, 3)
+
         out.append(
             MGLevel(
                 topo=coarse,
                 children=jnp.asarray(children),
                 parent=jnp.asarray(parent),
                 octant=jnp.asarray(oct_),
+                mask=jnp.asarray(mask.reshape(coarse.capacity, 512)),
             )
         )
         fine = coarse
     return out
+
+
+def hierarchy_for(topo: Topology, params) -> tuple:
+    """The hierarchy tuple ``solver.step`` expects for ``params``: empty for
+    the RBGS solver, ``params.mg_levels`` coarse levels for "mg". Host-side;
+    call after every topology (re)build."""
+    if getattr(params, "pressure_solver", "rbgs") != "mg":
+        return ()
+    return tuple(build_hierarchy(topo, params.mg_levels))
 
 
 def restrict(level: MGLevel, fine: jax.Array) -> jax.Array:
@@ -123,6 +151,72 @@ def prolong(level: MGLevel, coarse: jax.Array, fine_capacity: int) -> jax.Array:
     return up.reshape(-1, 512)
 
 
+def _octant_block(level: MGLevel, par: jax.Array) -> jax.Array:
+    """Slice each fine tile's 4^3 octant out of gathered parent tiles.
+    par: [Tf, ..., 8, 8, 8] -> [Tf, ..., 4, 4, 4] (leading dims preserved)."""
+    ox = (level.octant >> 2) & 1
+    oy = (level.octant >> 1) & 1
+    oz = level.octant & 1
+    ax = par.ndim - 3
+    shp = [1] * par.ndim
+    shp[0] = par.shape[0]
+
+    def idx(o, axis):
+        s = list(shp)
+        s[ax + axis] = 4
+        return (jnp.arange(4).reshape([1] * (ax + axis) + [4] + [1] * (2 - axis))
+                + o.reshape(shp) * 4)
+
+    blk = jnp.take_along_axis(par, idx(ox, 0), axis=ax)
+    blk = jnp.take_along_axis(blk, idx(oy, 1), axis=ax + 1)
+    return jnp.take_along_axis(blk, idx(oz, 2), axis=ax + 2)
+
+
+def _shifted_view_batch(topo: Topology, fs: jax.Array, off) -> jax.Array:
+    """shifts.shifted_view over a stack of fields [k,T,512] with ONE row
+    gather for all k (null tile of field f is its own row f*T)."""
+    k, T, _ = fs.shape
+    mask, s_in, s_fix = sh._DIRS[tuple(off)]
+    flat = fs.reshape(k * T, 512)
+    idx = (
+        topo.nbr[:, sh.d_of(off)][None, :]
+        + (jnp.arange(k, dtype=jnp.int32) * T)[:, None]
+    ).reshape(-1)
+    n = jnp.take(flat, idx, axis=0).reshape(k, T, 512)
+    return jnp.where(mask[None], jnp.roll(n, s_fix, 2), jnp.roll(fs, s_in, 2))
+
+
+def prolong_trilinear(level: MGLevel, coarse: jax.Array) -> jax.Array:
+    """[Tc,512] -> [Tf,512]: trilinear (cell-centered) interpolation of the
+    coarse correction at fine voxel centers — the textbook pairing that the
+    reference's commented V-cycle declares as ``prolongate``
+    (`/root/reference/src/Cuda/Kernels.cuh:40-49`).
+
+    A fine voxel at even (odd) index along an axis sits at coarse offset
+    -0.25 (+0.25), so its 1-D weights are 0.75 on its parent cell and 0.25
+    on the -1 (+1) coarse neighbor. The 8 parity combinations are evaluated
+    on the COARSE grid (batched shifted views there — 6 gathers total), then
+    each fine tile gathers its parent's octant from the stacked parity
+    fields and interleaves. Out-of-domain coarse reads are 0 (Dirichlet)."""
+    topo_c = level.topo
+    fields = coarse[None]  # [1, Tc, 512]
+    for axis in range(3):
+        off_m = tuple(-1 if a == axis else 0 for a in range(3))
+        off_p = tuple(+1 if a == axis else 0 for a in range(3))
+        lo = 0.75 * fields + 0.25 * _shifted_view_batch(topo_c, fields, off_m)
+        hi = 0.75 * fields + 0.25 * _shifted_view_batch(topo_c, fields, off_p)
+        fields = jnp.concatenate([lo, hi], axis=0)
+    # stacking order: axis-k parity lands in bit k => index q = pz*4+py*2+px
+    stacked = jnp.moveaxis(fields, 0, 1)  # [Tc, 8, 512]
+    par = jnp.take(stacked, level.parent, axis=0).reshape(-1, 8, 8, 8, 8)
+    blk = _octant_block(level, par)  # [Tf, 8(q), 4, 4, 4]
+    Tf = blk.shape[0]
+    # fine[2a+px, 2b+py, 2c+pz] = blk[pz*4+py*2+px][a, b, c]
+    blk = blk.reshape(Tf, 2, 2, 2, 4, 4, 4)  # (pz, py, px, a, b, c)
+    out = jnp.transpose(blk, (0, 4, 3, 5, 2, 6, 1))  # (a,px, b,py, c,pz)
+    return out.reshape(Tf, 512)
+
+
 def v_cycle(
     topo: Topology,
     hierarchy: List[MGLevel],
@@ -133,15 +227,40 @@ def v_cycle(
     n_pre: int = 2,
     n_post: int = 2,
     n_coarsest: int = 24,
+    prolongation: str = "trilinear",
+    mask: jax.Array | None = None,
+    refresh=None,
+    coarse_reduce=None,
 ) -> jax.Array:
     """One V-cycle of the reference's commented driver (HNanoSolver.cu:399-506),
-    recursing down ``hierarchy``."""
+    recursing down ``hierarchy``. ``mask`` is THIS level's in-domain voxel
+    mask (None at the fine level, whose active tiles are fully in-domain).
+
+    ``refresh`` (ghost exchange) is applied inside the FINE-level smoothers
+    only. Sharded multigrid (parallel/slab.py) replicates the coarse levels:
+    each device restricts its OWNED fine tiles into the global coarse table
+    and ``coarse_reduce`` (a psum over the mesh axis) combines them; the
+    coarse solve then runs identically on every device."""
     if not hierarchy:
-        return prs.solve_pressure(topo, div, n_coarsest, dx, omega, p0=p)
+        return prs.solve_pressure(
+            topo, div, n_coarsest, dx, omega, p0=p, mask=mask, refresh=refresh
+        )
     lvl = hierarchy[0]
-    p = prs.solve_pressure(topo, div, n_pre, dx, omega, p0=p)
+    p = prs.solve_pressure(
+        topo, div, n_pre, dx, omega, p0=p, mask=mask, refresh=refresh
+    )
+    if refresh is not None:
+        p = refresh(p)
     r = prs.residual(topo, p, div, dx)
+    if mask is not None:
+        r = r * mask
     rc = restrict(lvl, r)
+    if coarse_reduce is not None:
+        rc = coarse_reduce(rc)
+    rc = rc * lvl.mask
+    # NOTE: refresh/coarse_reduce are deliberately NOT passed down — their
+    # exchange maps are fine-level; coarse levels run refresh-free (single
+    # chip) or replicated on every device (sharded, parallel/slab.py).
     ec = v_cycle(
         lvl.topo,
         hierarchy[1:],
@@ -152,9 +271,16 @@ def v_cycle(
         n_pre,
         n_post,
         n_coarsest,
+        prolongation,
+        lvl.mask,
     )
-    p = p + prolong(lvl, ec, topo.capacity)
-    return prs.solve_pressure(topo, div, n_post, dx, omega, p0=p)
+    if prolongation == "trilinear":
+        p = p + prolong_trilinear(lvl, ec)
+    else:
+        p = p + prolong(lvl, ec, topo.capacity)
+    return prs.solve_pressure(
+        topo, div, n_post, dx, omega, p0=p, mask=mask, refresh=refresh
+    )
 
 
 def solve_pressure_mg(
@@ -164,10 +290,35 @@ def solve_pressure_mg(
     cycles: int,
     dx: float,
     omega: float = 1.0,
+    tol: float | None = None,
+    refresh=None,
+    coarse_reduce=None,
     **kw,
 ) -> jax.Array:
-    """``cycles`` V-cycles from a zero initial guess."""
+    """``cycles`` V-cycles from a zero initial guess.
+
+    With ``tol`` set, cycles stop early once ``max|r|/max|div| <= tol``
+    (``cycles`` becomes the cap) — solve-to-residual rather than
+    solve-by-count, the criterion SURVEY §7.4 prescribes for parity."""
+    kw["refresh"] = refresh
+    kw["coarse_reduce"] = coarse_reduce
     p = jnp.zeros_like(div)
-    for _ in range(cycles):
-        p = v_cycle(topo, hierarchy, div, p, dx, omega, **kw)
-    return p
+    if tol is None:
+        for _ in range(cycles):
+            p = v_cycle(topo, hierarchy, div, p, dx, omega, **kw)
+        return p
+
+    scale = jnp.maximum(jnp.max(jnp.abs(div)), 1e-30)
+
+    def cond(carry):
+        i, p = carry
+        if refresh is not None:
+            p = refresh(p)
+        r = jnp.max(jnp.abs(prs.residual(topo, p, div, dx)))
+        return (i < cycles) & (r > tol * scale)
+
+    def body(carry):
+        i, p = carry
+        return i + 1, v_cycle(topo, hierarchy, div, p, dx, omega, **kw)
+
+    return jax.lax.while_loop(cond, body, (jnp.asarray(0), p))[1]

@@ -112,6 +112,9 @@ def _kernel(nf: int, G: int, fast: bool, dx_ref, dy_ref, dz_ref, tbl_ref, out_re
                 b_sub, wyzT,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                # parity mode needs true-f32 passes (TPU DEFAULT = one bf16
+                # pass, ~4e-3 rel err); fast mode keeps the bf16 operands
+                precision=None if fast else jax.lax.Precision.HIGHEST,
             )
             # tiny VPU reduce over the 24 x-window sublanes
             out_ref[:, f, :] += jnp.sum(wxT.astype(jnp.float32) * t1, axis=1)

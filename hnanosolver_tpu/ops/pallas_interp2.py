@@ -107,34 +107,46 @@ def _kernel(
         pairs.append(w.astype(jnp.bfloat16) if fast else w)
 
     nfo = f_hi - f_lo
+    # All output fields batched into the dot's M dimension: M = 3*nfo*8
+    # (dx-block major, then field, then x-sublane). A per-field M of 24
+    # left >80% of the 128-row systolic array idle; batching fields makes
+    # the 5 pair-dots fat instead of issuing 5*nfo skinny ones.
+    t1 = None
+    for i in range(5):
+        b0, b1 = 2 * i, min(2 * i + 1, 8)
 
-    def field_body(j, carry):
-        f8 = (f_lo + j) * 8
-        t1 = None
-        for i in range(5):
-            b0, b1 = 2 * i, min(2 * i + 1, 8)
-            rows = []
-            for b_h in (b0, b1):
-                rows += [
-                    stbl[:, dxb * 9 + b_h, pl.ds(f8, 8), :] for dxb in range(3)
-                ]
-            b_sub = jnp.concatenate(
-                [jnp.concatenate(rows[:3], axis=1),
-                 jnp.concatenate(rows[3:], axis=1)], axis=2,
-            )  # [G, 24, 128]
-            if fast:
-                b_sub = b_sub.astype(jnp.bfloat16)
-            d = jax.lax.dot_general(
-                b_sub, pairs[i],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [G, 24, 512]
-            t1 = d if t1 is None else t1 + d
-        # single x-hat contraction per field (wxT is pair-independent)
-        out_ref[:, j, :] = jnp.sum(wxT * t1, axis=1)
-        return carry
+        def half(b_h):
+            return jnp.concatenate(
+                [stbl[:, dxb * 9 + b_h, f_lo * 8 : f_hi * 8, :]
+                 for dxb in range(3)],
+                axis=1,
+            )  # [G, 3*nfo*8, 64]
 
-    jax.lax.fori_loop(0, nfo, field_body, 0)
+        b_sub = jnp.concatenate([half(b0), half(b1)], axis=2)
+        if fast:
+            b_sub = b_sub.astype(jnp.bfloat16)
+        # Parity mode needs true-f32 MXU passes: DEFAULT precision on TPU
+        # is one bf16 pass (~4e-3 rel err — measured 0.94 abs on a 150-max
+        # field), far off the <=1e-4 reference-parity target. fast mode
+        # keeps the single bf16 pass by construction.
+        d = jax.lax.dot_general(
+            b_sub, pairs[i],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=None if fast else jax.lax.Precision.HIGHEST,
+        )  # [G, 3*nfo*8, 512]
+        t1 = d if t1 is None else t1 + d
+    # x-hat contraction per field (wxT is pair- and field-independent)
+    for j in range(nfo):
+        acc = None
+        for dxb in range(3):
+            m0 = (dxb * nfo + j) * 8
+            part = jnp.sum(
+                wxT[:, dxb * 8 : dxb * 8 + 8, :] * t1[:, m0 : m0 + 8, :],
+                axis=1,
+            )
+            acc = part if acc is None else acc + part
+        out_ref[:, j, :] = acc
 
 
 @functools.lru_cache(maxsize=None)

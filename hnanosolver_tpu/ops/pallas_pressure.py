@@ -45,6 +45,103 @@ def _on_tpu() -> bool:
         return False
 
 
+def _kernel_lagged(K: int, omega: float, dx2: float,
+                   p_ref, div_ref, porg_ref, *rest):
+    """K red+black sweep pairs per launch with the cross-tile halo gathered
+    ONCE (in-tile neighbor reads stay exact via lane rolls; cross-tile face
+    values lag by up to 2K-1 half-sweeps). The reference's own cross-block
+    ordering is chaotic (in-place global updates, no inter-block sync —
+    `/root/reference/src/Cuda/Kernel.cu:591-623`), so this matches its
+    semantics class; convergence is compared by residual (SURVEY §7.4)."""
+    nbr_refs = rest[:6]
+    out_ref = rest[6]
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
+    cx, cy, cz = col // 64, (col // 8) % 8, col % 8
+    masks = {
+        (1, 0, 0): cx == 7,
+        (-1, 0, 0): cx == 0,
+        (0, 1, 0): cy == 7,
+        (0, -1, 0): cy == 0,
+        (0, 0, 1): cz == 7,
+        (0, 0, -1): cz == 0,
+    }
+    fixes = [
+        pltpu.roll(ref[:], _ROLLS[off][1] % TILE, 1)
+        for off, ref in zip(_DIRS, nbr_refs)
+    ]
+    parity = (porg_ref[:] + cx + cy + cz) & 1
+    in_dom = porg_ref[:] < 2
+
+    def sweep(color, p):
+        nbr_sum = jnp.zeros((G, TILE), jnp.float32)
+        for off, fix in zip(_DIRS, fixes):
+            s_in, _ = _ROLLS[off]
+            nbr_sum = nbr_sum + jnp.where(
+                masks[off], fix, pltpu.roll(p, s_in % TILE, 1)
+            )
+        pgs = (nbr_sum - div_ref[:] * dx2) * (1.0 / 6.0)
+        upd = (parity == color) & in_dom
+        return jnp.where(upd, p + omega * (pgs - p), p)
+
+    def body(_, p):
+        return sweep(1, sweep(0, p))
+
+    out_ref[:] = jax.lax.fori_loop(0, K, body, p_ref[:])
+
+
+@functools.lru_cache(maxsize=None)
+def _build_lagged(K: int, omega: float, dx2: float, T: int, interpret: bool):
+    spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_lagged, K, omega, dx2),
+        grid=(T // G,),
+        in_specs=[spec] * 9,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((T, TILE), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def solve_pressure_lagged(
+    topo: Topology,
+    div: jax.Array,
+    iterations: int,
+    dx: float,
+    omega: float,
+    halo_lag: int,
+    p0=None,
+    interpret=None,
+    mask=None,
+) -> jax.Array:
+    """``iterations`` red+black pairs in blocks of ``halo_lag`` pairs per
+    halo gather. halo_lag=1 is NOT identical to solve_pressure_pallas: the
+    black half-sweep already sees a stale cross-tile halo. Residual-matched
+    against the textbook path in tests; iterations must divide by halo_lag."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert iterations % halo_lag == 0, (iterations, halo_lag)
+    T = div.shape[0]
+    org = topo.origins * 8
+    porg = jnp.broadcast_to(
+        ((org[:, 0] + org[:, 1] + org[:, 2]) & 1)[:, None], (T, TILE)
+    ).astype(jnp.int32)
+    if mask is not None:
+        porg = jnp.where(mask > 0, porg, porg + 2)
+    p = jnp.zeros_like(div) if p0 is None else p0
+    if mask is not None:
+        p = p * mask
+    fn = _build_lagged(
+        int(halo_lag), float(omega), float(dx) * float(dx), T, bool(interpret)
+    )
+    nbr_cols = [topo.nbr[:, d_of(off)] for off in _DIRS]
+
+    def body(_, p):
+        faces = [jnp.take(p, c, axis=0) for c in nbr_cols]
+        return fn(p, div, porg, *faces)
+
+    return jax.lax.fori_loop(0, iterations // halo_lag, body, p)
+
+
 def _kernel(color: int, omega: float, dx2: float,
             p_ref, div_ref, porg_ref, *rest):
     nbr_refs = rest[:6]
@@ -70,8 +167,12 @@ def _kernel(color: int, omega: float, dx2: float,
         )
         nbr_sum = nbr_sum + view
     pgs = (nbr_sum - div_ref[:] * dx2) * (1.0 / 6.0)
+    # porg encodes origin parity in bit 0 and out-of-domain in bit 1 (+2 for
+    # masked cells — see solve_pressure_pallas): masked cells never update,
+    # and stay exactly 0 because p enters pre-masked.
     parity = (porg_ref[:] + cx + cy + cz) & 1
-    out_ref[:] = jnp.where(parity == color, p + omega * (pgs - p), p)
+    update = (parity == color) & (porg_ref[:] < 2)
+    out_ref[:] = jnp.where(update, p + omega * (pgs - p), p)
 
 
 @functools.lru_cache(maxsize=None)
@@ -87,6 +188,125 @@ def _build(color: int, omega: float, dx2: float, T: int, interpret: bool):
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused whole-domain solver: ALL sweeps in ONE kernel, p resident in VMEM.
+#
+# Measured on v5e: in-kernel neighbor-row assembly (fori of dynamic-slice
+# copies from the p buffer) is below the timing noise floor even at 6144
+# rows x 8 sweeps, while each sweep of the per-sweep path costs 6 full-array
+# XLA gathers + a kernel launch (~42 us/op dispatch alone). Keeping p in
+# VMEM for the whole solve removes ~all HBM traffic: 2 iterations/ms-class
+# instead of 0.6 ms/iteration.
+# ---------------------------------------------------------------------------
+
+# Fused is a LAUNCH-OVERHEAD win, not a bandwidth win: in-kernel row
+# assembly costs ~18 ns/row-copy (measured v5e), i.e. ~0.7 ms/sweep at 6144
+# rows — slower than the per-sweep gather path there. Below ~2k rows the
+# ~12 dispatches/sweep (~42 us each) of the per-sweep path dominate instead,
+# so whole-solve-in-one-kernel wins. Used by multigrid coarse levels.
+MAX_FUSED_ROWS = 2_048
+
+
+def _fused_kernel(iterations: int, omega: float, dx2: float, T: int,
+                  has_mask: bool,
+                  nbr_ref,  # [6, T] int32 SMEM (face neighbor rows, _DIRS
+                  # order; direction-major — SMEM pads the minor dim to 512B
+                  # per row, so [T,6] would blow the ~1MB SMEM budget)
+                  porg_ref,  # [T, 1] int32 VMEM (origin parity; +2 if masked out)
+                  div_ref, p0_ref, mask_ref, out_ref, scratch):
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, TILE), 1)
+    cx, cy, cz = col // 64, (col // 8) % 8, col % 8
+    masks = {
+        (1, 0, 0): cx == 7,
+        (-1, 0, 0): cx == 0,
+        (0, 1, 0): cy == 7,
+        (0, -1, 0): cy == 0,
+        (0, 0, 1): cz == 7,
+        (0, 0, -1): cz == 0,
+    }
+    parity = (jnp.broadcast_to(porg_ref[:], (T, TILE)) + cx + cy + cz) & 1
+    in_dom = jnp.broadcast_to(porg_ref[:], (T, TILE)) < 2
+    if has_mask:
+        in_dom = in_dom & (mask_ref[:] > 0)
+        out_ref[:] = jnp.where(in_dom, p0_ref[:], 0.0)
+    else:
+        out_ref[:] = p0_ref[:]
+
+    def sweep(s, carry):
+        color = s & 1
+        p = out_ref[:]
+        nbr_sum = jnp.zeros((T, TILE), jnp.float32)
+        for di, off in enumerate(_DIRS):
+            s_in, s_fix = _ROLLS[off]
+
+            def cp(t, c):
+                scratch[t] = out_ref[nbr_ref[di, t]]
+                return c
+
+            jax.lax.fori_loop(0, T, cp, 0)
+            view = jnp.where(
+                masks[off],
+                pltpu.roll(scratch[:], s_fix % TILE, 1),
+                pltpu.roll(p, s_in % TILE, 1),
+            )
+            nbr_sum = nbr_sum + view
+        pgs = (nbr_sum - div_ref[:] * dx2) * (1.0 / 6.0)
+        upd = (parity == color) & in_dom
+        out_ref[:] = jnp.where(upd, p + omega * (pgs - p), p)
+        return carry
+
+    jax.lax.fori_loop(0, 2 * iterations, sweep, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused(iterations: int, omega: float, dx2: float, T: int,
+                 has_mask: bool, interpret: bool):
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, iterations, omega, dx2, T, has_mask),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, TILE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, TILE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def solve_pressure_fused(
+    topo: Topology,
+    div: jax.Array,
+    iterations: int,
+    dx: float,
+    omega: float,
+    p0=None,
+    interpret=None,
+    mask=None,
+) -> jax.Array:
+    """Whole-solve-in-one-kernel variant (T <= MAX_FUSED_ROWS, no refresh)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    T = div.shape[0]
+    org = topo.origins * 8
+    porg = ((org[:, 0] + org[:, 1] + org[:, 2]) & 1).astype(jnp.int32)[:, None]
+    nbr6 = jnp.stack([topo.nbr[:, d_of(off)] for off in _DIRS], axis=0)
+    p = jnp.zeros_like(div) if p0 is None else p0
+    has_mask = mask is not None
+    m = mask if has_mask else jnp.zeros((T, 1), jnp.float32)
+    fn = _build_fused(
+        int(iterations), float(omega), float(dx) * float(dx), T,
+        has_mask, bool(interpret),
+    )
+    return fn(nbr6, porg, div, p, m)
+
+
 def solve_pressure_pallas(
     topo: Topology,
     div: jax.Array,
@@ -95,10 +315,16 @@ def solve_pressure_pallas(
     omega: float,
     p0=None,
     interpret=None,
+    refresh=None,
+    mask=None,
 ) -> jax.Array:
-    """Drop-in replacement for ops.pressure.solve_pressure (flat [T,512])."""
+    """Drop-in replacement for ops.pressure.solve_pressure (flat [T,512]).
+    ``refresh``: ghost-exchange hook applied to p before each color sweep.
+    ``mask``: in-domain voxel mask (multigrid coarse levels); cells outside
+    are Dirichlet-0."""
     if interpret is None:
         interpret = not _on_tpu()
+    rf = refresh or (lambda f: f)
     T = div.shape[0]
     org = topo.origins * 8
     porg = jnp.broadcast_to(
@@ -109,12 +335,17 @@ def solve_pressure_pallas(
     black = _build(1, float(omega), dx2, T, bool(interpret))
     nbr_cols = [topo.nbr[:, d_of(off)] for off in _DIRS]
     p = jnp.zeros_like(div) if p0 is None else p0
+    if mask is not None:
+        p = p * mask
+        porg = jnp.where(mask > 0, porg, porg + 2)  # bit 1 => never update
 
     def faces(p):
         return [jnp.take(p, c, axis=0) for c in nbr_cols]
 
     def body(_, p):
+        p = rf(p)
         p = red(p, div, porg, *faces(p))
+        p = rf(p)
         p = black(p, div, porg, *faces(p))
         return p
 

@@ -51,25 +51,69 @@ def solve_pressure(
     omega: float,
     p0: jax.Array | None = None,
     backend: str | None = None,
+    refresh=None,
+    mask: jax.Array | None = None,
+    halo_lag: int = 1,
 ) -> jax.Array:
     """Run ``iterations`` red+black SOR sweeps from p0 (zeros by default).
     div, p: [T,512]. ``backend``: "pallas" (fused sweep kernel; auto on
-    TPU), "xla" (roll+select formulation; auto elsewhere)."""
+    TPU), "xla" (roll+select formulation; auto elsewhere). ``refresh``:
+    ghost-row exchange hook applied to p before every color sweep (identity
+    on one chip; ppermute under shard_map — see parallel/slab.py).
+    ``mask``: in-domain voxel mask [T,512]; cells outside stay exactly 0
+    (Dirichlet) — used by multigrid coarse levels whose tiles only partially
+    cover the fine domain."""
     if backend is None:
         backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":
-        from hnanosolver_tpu.ops.pallas_pressure import solve_pressure_pallas
-
-        return solve_pressure_pallas(
-            topo, div, iterations, dx, omega, p0=p0, interpret=not _on_tpu()
+        from hnanosolver_tpu.ops.pallas_pressure import (
+            MAX_FUSED_ROWS,
+            solve_pressure_fused,
+            solve_pressure_pallas,
         )
+
+        if refresh is None and div.shape[0] <= MAX_FUSED_ROWS:
+            # whole solve in ONE kernel, p resident in VMEM (no per-sweep
+            # gathers, no HBM round trips; halo is always fresh — textbook)
+            return solve_pressure_fused(
+                topo, div, iterations, dx, omega, p0=p0,
+                interpret=not _on_tpu(), mask=mask,
+            )
+        if refresh is None and halo_lag > 1:
+            from hnanosolver_tpu.ops.pallas_pressure import (
+                solve_pressure_lagged,
+            )
+
+            blocks = (iterations // halo_lag) * halo_lag
+            p = solve_pressure_lagged(
+                topo, div, blocks, dx, omega, halo_lag, p0=p0,
+                interpret=not _on_tpu(), mask=mask,
+            ) if blocks else (jnp.zeros_like(div) if p0 is None else p0)
+            rem = iterations - blocks
+            if not rem:
+                return p
+            return solve_pressure_pallas(
+                topo, div, rem, dx, omega, p0=p,
+                interpret=not _on_tpu(), mask=mask,
+            )
+        return solve_pressure_pallas(
+            topo, div, iterations, dx, omega, p0=p0,
+            interpret=not _on_tpu(), refresh=refresh, mask=mask,
+        )
+    rf = refresh or (lambda f: f)
     dx2 = dx * dx
     red = parity_flat(topo) == 0
     p = jnp.zeros_like(div) if p0 is None else p0
+    if mask is not None:
+        p = p * mask
+        in_dom = mask > 0
+        red_m, black_m = red & in_dom, (~red) & in_dom
+    else:
+        red_m, black_m = red, ~red
 
     def body(_, p):
-        p = _color_sweep(topo, p, div, dx2, omega, red)
-        p = _color_sweep(topo, p, div, dx2, omega, ~red)
+        p = _color_sweep(topo, rf(p), div, dx2, omega, red_m)
+        p = _color_sweep(topo, rf(p), div, dx2, omega, black_m)
         return p
 
     return jax.lax.fori_loop(0, iterations, body, p)

@@ -250,6 +250,75 @@ def gather_state(topo: Topology, slab: SlabTopology, state: FieldState) -> Field
 
 
 # ---------------------------------------------------------------------------
+# Sharded multigrid: fine level sharded, coarse levels replicated
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabHierarchy:
+    """Multigrid hierarchy for a slab decomposition.
+
+    The fine level stays sharded; every coarse level is REPLICATED on all
+    devices: each device restricts only its OWNED fine tiles into the global
+    coarse table (children map -> 0 elsewhere), one ``psum`` combines the
+    partial restrictions, and the coarse V-cycle then runs identically
+    everywhere (coarse work is 8^-k of fine — cheaper to replicate than to
+    exchange). Prolongation gathers from the replicated correction by each
+    local tile's global parent row."""
+
+    children_local: jax.Array  # [D, Tc, 8] local fine row per octant (0 = not owned here)
+    parent_global: jax.Array  # [D, Tl] global coarse row of each local tile
+    octant_local: jax.Array  # [D, Tl]
+    coarse_level: object  # MGLevel of the global level 1 (replicated; maps unused)
+    rest: tuple  # plain MGLevels below level 1 (replicated)
+
+
+def build_slab_hierarchy(
+    topo: Topology, slab: SlabTopology, levels: int
+) -> SlabHierarchy:
+    """Host-side: per-device restriction/prolongation maps into the global
+    coarse hierarchy of ``topo``."""
+    from hnanosolver_tpu.ops.multigrid import build_hierarchy
+
+    hier = build_hierarchy(topo, levels)
+    lvl1 = hier[0]
+    D, Tl = slab.keys.shape
+    Tc = lvl1.topo.capacity
+    gkeys = np.asarray(topo.keys)
+    children_g = np.asarray(lvl1.children)
+    parent_g = np.asarray(lvl1.parent)
+    octant_g = np.asarray(lvl1.octant)
+    owned = np.asarray(slab.local_mask) > 0
+    skeys = np.asarray(slab.keys)
+
+    children_local = np.zeros((D, Tc, 8), np.int32)
+    parent_local = np.zeros((D, Tl), np.int32)
+    octant_local = np.zeros((D, Tl), np.int32)
+    for d in range(D):
+        pos = np.minimum(np.searchsorted(gkeys, skeys[d]), len(gkeys) - 1)
+        valid = (
+            (gkeys[pos] == skeys[d])
+            & (skeys[d] != C.PAD_KEY)
+            & (skeys[d] != C.NULL_KEY)
+        )
+        g = np.where(valid, pos, 0)
+        parent_local[d] = np.where(valid, parent_g[g], 0)
+        octant_local[d] = np.where(valid, octant_g[g], 0)
+        g2l = np.zeros(topo.capacity, np.int32)
+        own_rows = np.flatnonzero(owned[d])
+        g2l[g[own_rows]] = own_rows
+        children_local[d] = g2l[children_g]
+
+    return SlabHierarchy(
+        children_local=jnp.asarray(children_local),
+        parent_global=jnp.asarray(parent_local),
+        octant_local=jnp.asarray(octant_local),
+        coarse_level=lvl1,
+        rest=tuple(hier[1:]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Device-local step under shard_map
 # ---------------------------------------------------------------------------
 
@@ -279,34 +348,43 @@ def make_refresh(axis: str, send_lo, send_hi, recv_lo, recv_hi, n_devices: int):
     return refresh
 
 
-def sharded_plume_step(
+def sharded_step(
     mesh: Mesh,
     slab: SlabTopology,
     params: SolverParams,
-    cfg=None,
+    emit_fn=None,
     axis: str = "x",
+    hierarchy: Optional[SlabHierarchy] = None,
 ):
-    """jit(shard_map(...)) full step over stacked slab state. Returns
-    fn(slab, state) -> state with every field sharded on the device axis."""
+    """jit(shard_map(...)) full step over stacked slab state, running the
+    ONE pipeline implementation (``solver.step_impl``) with the ppermute
+    ghost refresh injected as its halo hook. Returns fn(slab, state) ->
+    state with every field sharded on the device axis.
+
+    ``emit_fn(topo, state) -> state``: optional per-frame sourcing applied
+    before the step (e.g. ``partial(models.plume.emit, cfg=cfg, dt=dt)``).
+    ``hierarchy``: from ``build_slab_hierarchy`` when params selects the
+    multigrid pressure solver."""
     try:
         from jax import shard_map  # jax >= 0.5
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
-    from hnanosolver_tpu.fields import COLLISION_FIELD
-    from hnanosolver_tpu.models.plume import emit
-    from hnanosolver_tpu.ops import advection as adv
-    from hnanosolver_tpu.ops import collision as col
-    from hnanosolver_tpu.ops import combustion as comb
-    from hnanosolver_tpu.ops import pressure as prs
-    from hnanosolver_tpu.ops import stencil as stn
+    from hnanosolver_tpu.ops.multigrid import MGLevel
+    from hnanosolver_tpu.solver import step_impl
+
+    use_mg = params.pressure_solver == "mg"
+    if use_mg and hierarchy is None:
+        raise ValueError("pressure_solver='mg' needs a build_slab_hierarchy()")
+    if use_mg and params.mg_tol is not None:
+        raise NotImplementedError(
+            "mg_tol under shard_map needs a mesh-wide residual reduction; "
+            "use a fixed cycle count when sharded"
+        )
 
     D = slab.n_devices
-    c = params.combustion
-    inv_dx = params.inv_voxel_size
-    dt = params.dt
 
-    def local_step(slab_arrs, vel, scalars):
+    def local_step(slab_arrs, hier_maps, vel, scalars):
         # shard_map hands each [D, ...] array as its local [1, ...] block
         (keys, origins, nbr, n_rows, local_mask,
          send_lo, send_hi, recv_lo, recv_hi) = (a[0] for a in slab_arrs)
@@ -316,94 +394,75 @@ def sharded_plume_step(
         topo = _local_topo((keys, origins, nbr, n_rows))
         refresh = make_refresh(axis, send_lo, send_hi, recv_lo, recv_hi, D)
 
-        vel = refresh(vel)
-        scalars = {k: refresh(v) for k, v in scalars.items()}
-        state = FieldState(velocity=vel, scalars=scalars)
-        if cfg is not None:
-            state = emit(topo, state, cfg, dt)
-            state = FieldState(
-                velocity=refresh(state.velocity),
-                scalars={k: refresh(v) for k, v in state.scalars.items()},
+        hier = ()
+        coarse_reduce = None
+        if use_mg:
+            children, parent, octant = (a[0] for a in hier_maps)
+            g = hierarchy.coarse_level  # replicated closure constants
+            lvl1 = MGLevel(
+                topo=g.topo, children=children, parent=parent,
+                octant=octant, mask=g.mask,
             )
-        vel = state.velocity
-        scalars = state.scalars
+            hier = (lvl1,) + hierarchy.rest
+            coarse_reduce = lambda rc: jax.lax.psum(rc, axis)  # noqa: E731
 
-        sdf = scalars.get(COLLISION_FIELD) if params.has_collision else None
-        if sdf is not None:
-            vel = refresh(col.enforce_collision(topo, vel, sdf, inv_dx))
+        def refresh_state(s: FieldState) -> FieldState:
+            return FieldState(
+                velocity=refresh(s.velocity),
+                scalars={k: refresh(v) for k, v in s.scalars.items()},
+            )
 
-        u_star = adv.advect_velocity(topo, vel, dt, inv_dx, sdf)
-        u_star = refresh(u_star)
-        u_star = stn.vorticity_confinement(
-            topo, u_star, dt, inv_dx, c.vorticity_scale, c.factor_scale
+        state = refresh_state(FieldState(velocity=vel, scalars=scalars))
+        if emit_fn is not None:
+            state = refresh_state(emit_fn(topo, state))
+
+        out = step_impl(
+            topo, state, params, hierarchy=hier, refresh=refresh,
+            coarse_reduce=coarse_reduce,
         )
-        u_star = refresh(u_star)
-        div = stn.divergence(topo, u_star, inv_dx)
-
-        fuel, waste, temp, flame, div = comb.combustion_oxygen(
-            scalars["fuel"], scalars["waste"], scalars["temperature"],
-            scalars["flame"], div, c.temperature_release, c.expansion_rate,
-        )
-        u_star = comb.temperature_buoyancy(
-            u_star, temp, dt, c.ambient_temp, c.buoyancy_strength
-        )
-
-        # pressure loop with per-sweep ghost refresh
-        from hnanosolver_tpu.core.layout import parity_flat
-
-        dx2 = params.voxel_size * params.voxel_size
-        parity = parity_flat(topo)
-        p = jnp.zeros_like(div)
-        div = refresh(div)
-
-        def sweep(p, color):
-            p = refresh(p)
-            return prs._color_sweep(topo, p, div, dx2, params.omega, parity == color)
-
-        def body(_, p):
-            p = sweep(p, 0)
-            p = sweep(p, 1)
-            return p
-
-        p = jax.lax.fori_loop(0, params.iterations, body, p)
-        p = refresh(p)
-        u_star = refresh(u_star)
-        vel_out = stn.subtract_pressure_gradient(topo, u_star, p, inv_dx)
-        if sdf is not None:
-            vel_out = col.enforce_collision(topo, vel_out, sdf, inv_dx)
-            vel_out = col.enforce_collision(topo, vel_out, sdf, inv_dx)
-        vel_out = refresh(vel_out)
-
-        to_advect = dict(scalars)
-        to_advect.update(fuel=fuel, waste=waste, temperature=temp, flame=flame)
-        sdf_in = to_advect.pop(COLLISION_FIELD, None)
-        to_advect = {k: refresh(v) for k, v in to_advect.items()}
-        advected = adv.advect_scalars_fused(
-            topo, vel_out, to_advect, dt, inv_dx, sdf
-        )
-        if sdf_in is not None:
-            advected[COLLISION_FIELD] = sdf_in
 
         m = local_mask[:, None]  # [Tl,1]
         return (
-            (vel_out * m[None])[None],   # [1,3,Tl,512]
-            {k: (v * m)[None] for k, v in advected.items()},
+            (out.velocity * m[None])[None],  # [1,3,Tl,512]
+            {k: (v * m)[None] for k, v in out.scalars.items()},
         )
 
     def step_fn(slab_in: SlabTopology, state: FieldState) -> FieldState:
         slab_leaves = tuple(slab_in.tree_flatten()[0])
+        hier_maps = (
+            (hierarchy.children_local, hierarchy.parent_global,
+             hierarchy.octant_local)
+            if use_mg else ()
+        )
         scalars_spec = {k: P(axis) for k in state.scalars}
         fn = shard_map(
             local_step,
             mesh=mesh,
             in_specs=(
                 tuple(P(axis) for _ in slab_leaves),
+                tuple(P(axis) for _ in hier_maps),
                 P(axis),
                 scalars_spec,
             ),
             out_specs=(P(axis), scalars_spec),
         )
-        vel, scalars = fn(slab_leaves, state.velocity, state.scalars)
+        vel, scalars = fn(slab_leaves, hier_maps, state.velocity, state.scalars)
         return FieldState(velocity=vel, scalars=scalars)
 
     return jax.jit(step_fn)
+
+
+def sharded_plume_step(
+    mesh: Mesh,
+    slab: SlabTopology,
+    params: SolverParams,
+    cfg=None,
+    axis: str = "x",
+):
+    """Plume-model convenience wrapper over ``sharded_step``."""
+    emit_fn = None
+    if cfg is not None:
+        from hnanosolver_tpu.models.plume import emit
+
+        emit_fn = lambda topo, state: emit(topo, state, cfg, params.dt)  # noqa: E731
+    return sharded_step(mesh, slab, params, emit_fn=emit_fn, axis=axis)

@@ -54,14 +54,25 @@ def _require_combustion_fields(state: FieldState):
         raise ValueError(f"missing required combustion fields: {missing}")
 
 
-@partial(jax.jit, static_argnames=("params",))
-def step(
+def _identity(f):
+    return f
+
+
+def step_impl(
     topo: Topology,
     state: FieldState,
     params: SolverParams,
     hierarchy: tuple = (),
+    refresh=_identity,
+    coarse_reduce=None,
 ) -> FieldState:
-    """One full simulation step. Pure function: state in, state out.
+    """THE pipeline — the single implementation behind both the one-chip
+    ``step`` and the shard_map slab step (parallel/slab.py).
+
+    ``refresh`` is the halo-exchange hook: identity on one chip, a ppermute
+    ghost-row push under shard_map. It is applied to every array right
+    before an op that reads cross-tile neighbors, so the sharded step runs
+    literally this code. The caller must hand in ghost-fresh ``state``.
 
     ``hierarchy``: coarse levels from ``ops.multigrid.build_hierarchy`` when
     ``params.pressure_solver == "mg"`` (tuple so it stays a pytree)."""
@@ -73,14 +84,16 @@ def step(
     sdf = state.sdf() if params.has_collision else None
     vel = state.velocity
     if sdf is not None:
-        vel = col.enforce_collision(topo, vel, sdf, inv_dx)
+        vel = refresh(col.enforce_collision(topo, vel, sdf, inv_dx))
 
     fast = params.precision == "fast"
     # 1-2. velocity self-advection + vorticity confinement
     u_star = adv.advect_velocity(topo, vel, dt, inv_dx, sdf, fast=fast)
+    u_star = refresh(u_star)
     u_star = stn.vorticity_confinement(
         topo, u_star, dt, inv_dx, c.vorticity_scale, c.factor_scale
     )
+    u_star = refresh(u_star)
 
     # 3. divergence of the intermediate velocity
     div = stn.divergence(topo, u_star, inv_dx)
@@ -102,29 +115,39 @@ def step(
     )
 
     # 5. pressure solve + projection
+    div = refresh(div)
+    # None (not the identity closure) tells the solvers no exchange is
+    # needed, enabling the fused whole-solve kernel
+    rf_solver = None if refresh is _identity else refresh
     if params.pressure_solver == "mg" and hierarchy:
         from hnanosolver_tpu.ops.multigrid import solve_pressure_mg
 
         p = solve_pressure_mg(
             topo, list(hierarchy), div, params.iterations, params.voxel_size,
-            params.omega, n_pre=params.mg_pre, n_post=params.mg_post,
-            n_coarsest=params.mg_coarsest,
+            params.omega, tol=params.mg_tol, n_pre=params.mg_pre,
+            n_post=params.mg_post, n_coarsest=params.mg_coarsest,
+            refresh=rf_solver, coarse_reduce=coarse_reduce,
         )
     else:
         p = prs.solve_pressure(
-            topo, div, params.iterations, params.voxel_size, params.omega
+            topo, div, params.iterations, params.voxel_size, params.omega,
+            refresh=rf_solver, halo_lag=params.halo_lag,
         )
+    p = refresh(p)
+    u_star = refresh(u_star)
     vel_out = stn.subtract_pressure_gradient(topo, u_star, p, inv_dx)
     if sdf is not None:
         # subtractPressureGradient's collision tail (Kernel.cu:808-826)
         vel_out = col.enforce_collision(topo, vel_out, sdf, inv_dx)
         # second enforceCollisionBoundaries launch (HNanoSolver.cu:292-296)
         vel_out = col.enforce_collision(topo, vel_out, sdf, inv_dx)
+    vel_out = refresh(vel_out)
 
     # 6. advect all scalars (post-combustion state) by the projected velocity
     to_advect = dict(state.scalars)
     to_advect.update(fuel=fuel, waste=waste, temperature=temp, flame=flame)
     sdf_in = to_advect.pop(COLLISION_FIELD, None)
+    to_advect = {k: refresh(v) for k, v in to_advect.items()}
     advected = adv.advect_scalars_fused(
         topo, vel_out, to_advect, dt, inv_dx, sdf, fast=fast
     )
@@ -132,6 +155,18 @@ def step(
         advected[COLLISION_FIELD] = sdf_in  # preserved, not zeroed (see above)
 
     return mask_state(topo, FieldState(velocity=vel_out, scalars=advected))
+
+
+@partial(jax.jit, static_argnames=("params",))
+def step(
+    topo: Topology,
+    state: FieldState,
+    params: SolverParams,
+    hierarchy: tuple = (),
+) -> FieldState:
+    """One full simulation step on one chip. Pure function: state in,
+    state out. See ``step_impl`` for the pipeline."""
+    return step_impl(topo, state, params, hierarchy)
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ from hnanosolver_tpu.ops import pressure as prs
 from hnanosolver_tpu.ops.multigrid import (
     build_hierarchy,
     prolong,
+    prolong_trilinear,
     restrict,
     solve_pressure_mg,
     v_cycle,
@@ -78,8 +79,6 @@ def test_vcycle_beats_rbgs_at_same_work():
     div = jnp.sin(k * px) * jnp.sin(k * py) * jnp.sin(k * pz) * active_mask(topo)[:, None]
     dx = 0.25
     # 3 V-cycles (~3*(2+2) fine sweeps + coarse work) vs 30 RBGS sweeps.
-    # Measured convergence ~0.3x residual per cycle with piecewise-constant
-    # prolongation (trilinear prolongation is the planned refinement).
     p_mg = solve_pressure_mg(topo, hier, div, cycles=3, dx=dx, omega=1.0)
     p_gs = prs.solve_pressure(topo, div, 30, dx, 1.0)
     r_mg = _l2(topo, prs.residual(topo, p_mg, div, dx))
@@ -87,6 +86,54 @@ def test_vcycle_beats_rbgs_at_same_work():
     r0 = _l2(topo, div)
     assert r_mg < 0.5 * r_gs, (r0, r_mg, r_gs)
     assert r_mg < 0.1 * r0
+    # trilinear prolongation converges at least as fast as injection
+    p_inj = solve_pressure_mg(
+        topo, hier, div, cycles=3, dx=dx, omega=1.0, prolongation="injection"
+    )
+    r_inj = _l2(topo, prs.residual(topo, p_inj, div, dx))
+    assert r_mg <= 1.05 * r_inj, (r_mg, r_inj)
+
+
+def test_prolong_trilinear_reproduces_linear_fields():
+    """Cell-centered trilinear 2x upsampling of c(i)=i gives f/2 - 0.25 at
+    interior fine voxels (exact for linear fields away from the Dirichlet-0
+    domain boundary)."""
+    from hnanosolver_tpu.core.layout import positions_flat
+
+    topo = build_topology_dense((32, 32, 32))
+    hier = build_hierarchy(topo, 1)
+    lvl = hier[0]
+    cx = positions_flat(lvl.topo)[0].astype(jnp.float32)
+    cx = cx * active_mask(lvl.topo)[:, None]
+    fine = prolong_trilinear(lvl, cx)
+    fx, fy, fz = (p.astype(np.float32) for p in positions_flat(topo))
+    fx, fy, fz = np.asarray(fx), np.asarray(fy), np.asarray(fz)
+    vals = np.asarray(fine)
+    n = int(topo.n_active)
+    interior = (
+        (fx[1:n+1] > 1) & (fx[1:n+1] < 30)
+        & (fy[1:n+1] > 1) & (fy[1:n+1] < 30)
+        & (fz[1:n+1] > 1) & (fz[1:n+1] < 30)
+    )
+    want = fx[1:n+1] / 2.0 - 0.25
+    np.testing.assert_allclose(
+        vals[1:n+1][interior], want[interior], atol=1e-5
+    )
+
+
+def test_mg_residual_target_mode():
+    """tol-mode stops early and meets the residual target."""
+    topo = build_topology_dense((32, 32, 32))
+    hier = build_hierarchy(topo, 2)
+    rng = np.random.default_rng(7)
+    div = jnp.asarray(
+        rng.standard_normal((topo.capacity, 512)).astype(np.float32)
+    ) * active_mask(topo)[:, None]
+    dx = 0.25
+    p = solve_pressure_mg(topo, hier, div, cycles=20, dx=dx, omega=1.0, tol=1e-3)
+    r = float(jnp.max(jnp.abs(prs.residual(topo, p, div, dx))))
+    scale = float(jnp.max(jnp.abs(div)))
+    assert r <= 1e-3 * scale * 1.001, (r, scale)
 
 
 def test_vcycle_on_sparse_topology():

@@ -32,3 +32,51 @@ def test_pallas_pressure_sparse(rng):
     tiles = [(x, y, z) for x in range(4) for y in range(3) for z in range(2)
              if (x * 7 + y * 3 + z) % 5 != 4]
     _check(build_topology(np.array(tiles, np.int32)), rng)
+
+
+def test_fused_whole_solve_matches_xla(rng):
+    from hnanosolver_tpu.ops.pallas_pressure import solve_pressure_fused
+
+    topo = build_topology_dense((16, 16, 16))
+    div = jnp.asarray(
+        rng.standard_normal((topo.capacity, 512)).astype(np.float32)
+    ) * active_mask(topo)[:, None]
+    dx, omega = 0.25, 1.17
+    want = prs.solve_pressure(topo, div, 5, dx, omega)
+    got = solve_pressure_fused(topo, div, 5, dx, omega, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # masked (multigrid coarse-level) variant
+    mask = (jnp.asarray(rng.random((topo.capacity, 512))) > 0.3).astype(
+        jnp.float32
+    )
+    want_m = prs.solve_pressure(topo, div, 4, dx, omega, mask=mask)
+    got_m = solve_pressure_fused(
+        topo, div, 4, dx, omega, interpret=True, mask=mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_m), np.asarray(want_m), atol=1e-6
+    )
+
+
+def test_lagged_sweeps_residual_matches_textbook(rng):
+    """halo_lag sweeps are a different (chaotic-class) relaxation ORDER, so
+    compare by residual: lagged with a few extra iterations must reach the
+    textbook 12-iteration residual."""
+    from hnanosolver_tpu.ops.pallas_pressure import solve_pressure_lagged
+
+    topo = build_topology_dense((24, 24, 24))
+    div = jnp.asarray(
+        rng.standard_normal((topo.capacity, 512)).astype(np.float32)
+    ) * active_mask(topo)[:, None]
+    dx, omega = 0.25, 1.0
+
+    def rl2(p):
+        return float(
+            jnp.sqrt(jnp.sum(prs.residual(topo, p, div, dx) ** 2))
+        )
+
+    r_ref = rl2(prs.solve_pressure(topo, div, 12, dx, omega))
+    r_lag = rl2(
+        solve_pressure_lagged(topo, div, 14, dx, omega, 2, interpret=True)
+    )
+    assert r_lag <= r_ref * 1.02, (r_lag, r_ref)

@@ -102,6 +102,77 @@ def test_sharded_step_matches_single_device(rng, mesh):
         )
 
 
+def test_sharded_step_mg_matches_single_device(rng, mesh):
+    """The unified step with multigrid pressure + replicated-coarse psum
+    restriction must match the single-device MG step."""
+    from hnanosolver_tpu.ops.multigrid import build_hierarchy
+    from hnanosolver_tpu.parallel.slab import build_slab_hierarchy, sharded_step
+
+    topo = _random_sparse_topology(rng)
+    state = _demo_state(topo, rng)
+    params = SolverParams(
+        dt=0.2, iterations=2, voxel_size=0.5, pressure_solver="mg",
+        mg_levels=1, mg_coarsest=4,
+    )
+    hier = tuple(build_hierarchy(topo, params.mg_levels))
+    from hnanosolver_tpu.solver import step
+
+    want = step(topo, state, params, hier)
+
+    slab = build_slabs(topo, 4)
+    shier = build_slab_hierarchy(topo, slab, params.mg_levels)
+    stacked = scatter_state(topo, slab, state)
+    fn = sharded_step(mesh, slab, params, hierarchy=shier)
+    got = gather_state(topo, slab, fn(slab, stacked))
+
+    m = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got.velocity)[:, m], np.asarray(want.velocity)[:, m],
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in want.scalars:
+        np.testing.assert_allclose(
+            np.asarray(got.scalars[k])[m], np.asarray(want.scalars[k])[m],
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_sharded_step_fast_and_sdf(rng, mesh):
+    """fast precision + collision SDF through the unified sharded step."""
+    from hnanosolver_tpu.core.layout import positions_flat
+    from hnanosolver_tpu.parallel.slab import sharded_step
+
+    topo = _random_sparse_topology(rng)
+    state = _demo_state(topo, rng)
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    m = active_mask(topo)[:, None]
+    sphere = (jnp.sqrt((px - 60) ** 2 + (py - 12) ** 2 + (pz - 12) ** 2) - 6.0)
+    state = state.with_scalar("collision_sdf", sphere * m)
+    params = SolverParams(
+        dt=0.2, iterations=3, voxel_size=0.5, precision="fast",
+        has_collision=True,
+    )
+    from hnanosolver_tpu.solver import step
+
+    want = step(topo, state, params)
+
+    slab = build_slabs(topo, 4)
+    stacked = scatter_state(topo, slab, state)
+    fn = sharded_step(mesh, slab, params)
+    got = gather_state(topo, slab, fn(slab, stacked))
+
+    mb = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got.velocity)[:, mb], np.asarray(want.velocity)[:, mb],
+        rtol=1e-3, atol=1e-4,
+    )
+    for k in want.scalars:
+        np.testing.assert_allclose(
+            np.asarray(got.scalars[k])[mb], np.asarray(want.scalars[k])[mb],
+            rtol=1e-3, atol=1e-4, err_msg=k,
+        )
+
+
 def test_balanced_partition(rng):
     topo = _random_sparse_topology(rng, n_layers=32)
     slab = build_slabs(topo, 8)
