@@ -31,8 +31,9 @@ import numpy as np
 ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
 RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
 CHAIN = 12  # longest timed chain (16+ tripped the worker watchdog)
-ROUNDS = 2  # independent measurement rounds; report the best (tunnel jitter
-# is one-sided — delays only — so min-of-rounds estimates the true step)
+ROUNDS = 3  # independent measurement rounds; report the best (tunnel jitter
+# is one-sided — delays only — so min-of-rounds estimates the true step;
+# observed single-round wobble is up to 3x on quiet-vs-congested windows)
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):

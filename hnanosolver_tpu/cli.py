@@ -29,6 +29,17 @@ def _add_solver_args(p: argparse.ArgumentParser):
     p.add_argument("--ambient-temp", type=float, default=23.0)
     p.add_argument("--vorticity", type=float, default=1.0)
     p.add_argument("--factor-scale", type=float, default=0.5)
+    p.add_argument("--precision", choices=["parity", "balanced", "fast"],
+                   default="parity",
+                   help="sampling-dot tier: parity = true f32, balanced = "
+                        "bf16x3 (~1e-5 rel, ~2x faster), fast = bf16")
+    p.add_argument("--padding", type=int, default=None,
+                   help="domain dilation in VOXELS (the reference SOP's "
+                        "padding param); default: 1 tile ring")
+    p.add_argument("--debug", action="store_true",
+                   help="per-frame diagnostics: NaN guard + CFL-clamp count "
+                        "(voxels where |u|*dt/dx >= 7 silently deviate from "
+                        "the reference's unbounded backtrace)")
 
 
 def _params(args):
@@ -38,6 +49,7 @@ def _params(args):
         dt=args.timestep,
         voxel_size=args.voxel_size,
         iterations=args.iterations,
+        precision=args.precision,
         combustion=CombustionParams(
             expansion_rate=args.expansion_rate,
             temperature_release=args.temperature_gain,
@@ -49,27 +61,54 @@ def _params(args):
     )
 
 
+def _save_frame(fmt: str, out_dir: str, stem: str, topo, state, params, frame):
+    """One frame to disk in the selected format: npz (exact resume), vdb
+    (Houdini-loadable OpenVDB), nvdb (NanoVDB)."""
+    from hnanosolver_tpu.io.state import save_npz
+
+    if fmt == "npz":
+        save_npz(os.path.join(out_dir, f"{stem}_{frame:04d}.npz"),
+                 topo, state, params, frame=frame)
+    elif fmt == "vdb":
+        from hnanosolver_tpu.io.vdb import state_to_vdb
+
+        state_to_vdb(os.path.join(out_dir, f"{stem}_{frame:04d}.vdb"),
+                     topo, state, voxel_size=params.voxel_size)
+    elif fmt == "nvdb":
+        from hnanosolver_tpu.io.nvdb import write_state_nvdb
+
+        write_state_nvdb(os.path.join(out_dir, f"{stem}_{frame:04d}"),
+                         topo, state, voxel_size=params.voxel_size)
+    else:
+        raise ValueError(f"unknown --format {fmt}")
+
+
 def cmd_plume(args):
     import numpy as np
 
-    from hnanosolver_tpu.io.state import save_npz
     from hnanosolver_tpu.models.plume import PlumeConfig, run_plume
 
     params = _params(args)
     cfg = PlumeConfig(
         center=tuple(args.center),
         radius=args.radius,
+        padding=args.padding,
     )
     os.makedirs(args.out, exist_ok=True)
     view = tuple(args.view_box)
 
     def on_frame(f, topo, state):
         t0 = time.perf_counter()
+        if args.debug:
+            from hnanosolver_tpu.utils.debug import assert_finite_state, check_cfl
+
+            assert_finite_state(state, where=f"frame {f + 1}")
+            n_clamped = check_cfl(topo, state, params)
+            if n_clamped:
+                print(f"  WARNING: CFL clamp engaged on {n_clamped} voxels "
+                      f"(|u|*dt/dx >= 7)", flush=True)
         if args.ckpt_every and (f + 1) % args.ckpt_every == 0:
-            save_npz(
-                os.path.join(args.out, f"frame_{f + 1:04d}.npz"),
-                topo, state, params, frame=f + 1,
-            )
+            _save_frame(args.format, args.out, "frame", topo, state, params, f + 1)
         if args.render and (f + 1) % args.render_every == 0:
             from hnanosolver_tpu.viewer.render import render_state, write_png
 
@@ -87,19 +126,18 @@ def cmd_plume(args):
 
 
 def cmd_fire(args):
-    from hnanosolver_tpu.io.state import save_npz
     from hnanosolver_tpu.models.fire import FireConfig, default_params, run_fire
 
     params = default_params().replace(
         dt=args.timestep, voxel_size=args.voxel_size, iterations=args.iterations
     )
-    cfg = FireConfig(center=tuple(args.center), radius=args.radius)
+    cfg = FireConfig(center=tuple(args.center), radius=args.radius,
+                     padding=args.padding)
     os.makedirs(args.out, exist_ok=True)
 
     def on_frame(f, topo, state):
         if args.ckpt_every and (f + 1) % args.ckpt_every == 0:
-            save_npz(os.path.join(args.out, f"fire_{f + 1:04d}.npz"),
-                     topo, state, params, frame=f + 1)
+            _save_frame(args.format, args.out, "fire", topo, state, params, f + 1)
         if args.render and (f + 1) % args.render_every == 0:
             from hnanosolver_tpu.viewer.render import render_state, write_png
 
@@ -128,6 +166,29 @@ def cmd_bench_report(args):
         state = plume_step(topo, state, params, cfg)
     times = profile(topo, state, params, hi=args.chain)
     print(markdown_table(times, topo.num_voxels))
+
+
+def cmd_turntable(args):
+    """Orbit renders of a checkpointed state (PNG sequence + APNG) — the
+    offline face of HNanoViewer's interactive camera."""
+    from hnanosolver_tpu.io.state import load_npz
+    from hnanosolver_tpu.viewer.render import (
+        render_turntable,
+        write_apng,
+        write_png,
+    )
+
+    topo, state, _, frame = load_npz(args.ckpt)
+    os.makedirs(args.out, exist_ok=True)
+    frames = render_turntable(
+        topo, state, tuple(args.view_box), frames=args.frames,
+        size=(args.size, args.size),
+    )
+    for i, img in enumerate(frames):
+        write_png(os.path.join(args.out, f"turn_{i:03d}.png"), img)
+    write_apng(os.path.join(args.out, "turntable.apng"), frames,
+               delay_ms=args.delay_ms)
+    print(f"wrote {len(frames)} orbit frames + turntable.apng to {args.out}")
 
 
 def cmd_resume(args):
@@ -161,6 +222,8 @@ def main(argv=None):
     p.add_argument("--radius", type=float, default=12.0)
     p.add_argument("--out", default="out")
     p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--format", choices=["npz", "vdb", "nvdb"], default="npz",
+                   help="frame output format (vdb = Houdini-loadable OpenVDB)")
     p.add_argument("--render", action="store_true")
     p.add_argument("--render-every", type=int, default=1)
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
@@ -173,6 +236,8 @@ def main(argv=None):
     p.add_argument("--radius", type=float, default=14.0)
     p.add_argument("--out", default="out")
     p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--format", choices=["npz", "vdb", "nvdb"], default="npz",
+                   help="frame output format (vdb = Houdini-loadable OpenVDB)")
     p.add_argument("--render", action="store_true")
     p.add_argument("--render-every", type=int, default=1)
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
@@ -186,6 +251,17 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=64, help="domain edge (voxels)")
     p.add_argument("--chain", type=int, default=10, help="long-chain length")
     p.set_defaults(fn=cmd_bench_report)
+
+    p = sub.add_parser(
+        "turntable", help="orbit renders of a checkpoint (PNG seq + APNG)"
+    )
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--size", type=int, default=384)
+    p.add_argument("--delay-ms", type=int, default=50)
+    p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
+    p.add_argument("--out", default="out/turntable")
+    p.set_defaults(fn=cmd_turntable)
 
     p = sub.add_parser("resume", help="resume from an .npz checkpoint")
     _add_solver_args(p)

@@ -52,9 +52,12 @@ class SolverParams:
     # (in-place global updates, Kernel.cu:591-623), so both are within its
     # semantics class; tests compare by residual (SURVEY §7.4).
     halo_lag: int = 2
-    # "parity": f32 everywhere (<=1e-4 target vs the CUDA reference).
-    # "fast": bfloat16 MXU interpolation (~2-4x faster advection, ~4e-3
-    # relative sampling error — production-speed mode, not parity-grade).
+    # "parity":   true-f32 MXU passes everywhere (measured ~1e-6 rel
+    #             sampling err on v5e; the <=1e-4-vs-CUDA reference tier).
+    # "balanced": manual bf16x3 interpolation dots (~1e-5 rel — still an
+    #             order under the 1e-4 target, ~2x faster advection).
+    # "fast":     single-pass bfloat16 MXU interpolation (~4e-3 rel —
+    #             production-speed mode, not parity-grade).
     precision: str = "parity"
     mg_pre: int = 2  # pre-smoothing sweeps per level
     mg_post: int = 2  # post-smoothing sweeps per level

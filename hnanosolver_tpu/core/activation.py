@@ -45,6 +45,78 @@ def occupied_tile_mask(
     return active & (occ > threshold)
 
 
+def occupied_voxel_bboxes(
+    topo: Topology, state: FieldState, threshold: float = 1e-4
+):
+    """Per-tile local bbox of occupied VOXELS (device-side).
+
+    Returns (occ [T] bool, lo [T,3] int32, hi [T,3] int32) with lo/hi in
+    local voxel coords [0,8); tiles with no occupied voxel have occ False.
+    This is what voxel-granularity dilation needs: the reference's
+    ``padding`` parameter dilates active VOXELS
+    (`/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:188-199`),
+    not whole leaves."""
+    v = jnp.max(jnp.abs(state.velocity), axis=0)  # [T,512]
+    for name, f in state.scalars.items():
+        if name == COLLISION_FIELD:
+            continue
+        v = jnp.maximum(v, jnp.abs(f))
+    hot = (v > threshold).reshape(topo.capacity, 8, 8, 8)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (topo.capacity, 1), 0)[:, 0]
+    active = (ids >= 1) & (ids <= topo.n_active)
+    hot = hot & active[:, None, None, None]
+    occ = jnp.any(hot, axis=(1, 2, 3))
+    axes = [(2, 3), (1, 3), (1, 2)]
+    lo, hi = [], []
+    for a, other in enumerate(axes):
+        proj = jnp.any(hot, axis=other)  # [T,8]
+        lo.append(jnp.argmax(proj, axis=1))
+        hi.append(7 - jnp.argmax(proj[:, ::-1], axis=1))
+    return occ, jnp.stack(lo, -1).astype(jnp.int32), jnp.stack(hi, -1).astype(jnp.int32)
+
+
+def topology_from_bboxes(
+    topo: Topology,
+    occ: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    padding: int,
+    keep_tiles: Optional[np.ndarray] = None,
+    min_capacity: Optional[int] = None,
+) -> Topology:
+    """Host-side voxel-granularity activation: the new tile set covers every
+    occupied voxel's Chebyshev-``padding`` neighborhood (box dilation — the
+    semantics of repeated NN_FACE_EDGE_VERTEX dilateVoxels). Tiles whose
+    nearest occupied voxel is farther than ``padding`` stay inactive, unlike
+    tile-radius dilation which over-activates by up to 7 voxels."""
+    origins = np.asarray(topo.origins)
+    occ = np.asarray(occ)
+    wmin = origins[occ] * 8 + np.asarray(lo)[occ]
+    wmax = origins[occ] * 8 + np.asarray(hi)[occ]
+    parts = []
+    if len(wmin):
+        lo_t = np.floor_divide(wmin - padding, 8)
+        hi_t = np.floor_divide(wmax + padding, 8)
+        R = int((hi_t - lo_t).max()) + 1
+        offs = np.stack(
+            np.meshgrid(*([np.arange(R)] * 3), indexing="ij"), -1
+        ).reshape(-1, 3)
+        cand = lo_t[:, None, :] + offs[None]
+        cand = np.minimum(cand, hi_t[:, None, :])  # clip; unique dedups
+        parts.append(cand.reshape(-1, 3).astype(np.int32))
+    if keep_tiles is not None and len(keep_tiles):
+        parts.append(np.asarray(keep_tiles, np.int32))
+    tiles = (np.concatenate(parts, axis=0) if parts
+             else np.zeros((0, 3), np.int32))
+    cap = max(topo.capacity, min_capacity or 0)
+    n_unique = len(np.unique(C.pack_keys_np(tiles))) if len(tiles) else 0
+    if cap < n_unique + 1:
+        from hnanosolver_tpu.core.topology import _round_capacity
+
+        cap = max(cap, _round_capacity(n_unique))
+    return build_topology(tiles, capacity=cap)
+
+
 def topology_from_mask(
     topo: Topology,
     occ_mask: np.ndarray,
@@ -116,11 +188,24 @@ def expand_for_state(
     threshold: float = 1e-4,
     radius: int = 1,
     keep_tiles: Optional[np.ndarray] = None,
+    padding: Optional[int] = None,
 ):
     """Host-driver convenience: one activation pass. Returns (topo, state),
-    unchanged (same objects) if the active set is already exact."""
-    occ = np.asarray(occupied_tile_mask(topo, state, threshold))
-    new_topo = topology_from_mask(topo, occ, radius=radius, keep_tiles=keep_tiles)
+    unchanged (same objects) if the active set is already exact.
+
+    ``padding``: dilation in VOXELS (the reference SOP's parameter) — when
+    set it replaces the tile-granularity ``radius``."""
+    if padding is not None:
+        occ, lo, hi = occupied_voxel_bboxes(topo, state, threshold)
+        new_topo = topology_from_bboxes(
+            topo, np.asarray(occ), np.asarray(lo), np.asarray(hi),
+            padding, keep_tiles=keep_tiles,
+        )
+    else:
+        occ = np.asarray(occupied_tile_mask(topo, state, threshold))
+        new_topo = topology_from_mask(
+            topo, occ, radius=radius, keep_tiles=keep_tiles
+        )
     if new_topo.capacity == topo.capacity and bool(
         jnp.all(new_topo.keys == topo.keys)
     ):

@@ -1,0 +1,484 @@
+"""Standalone OpenVDB ``.vdb`` writer/reader — no OpenVDB library needed.
+
+The reference's whole I/O story is ``.vdb`` through Houdini
+(`/root/reference/src/Utils/Utils.hpp:366-410`, decode path
+`/root/reference/src/Utils/GridBuilder.hpp:169-216`). This module produces
+standard ``.vdb`` archives directly from the flat tile layout so outputs are
+Houdini-loadable without an offline converter (round-1 gap: ``.nvdb`` only).
+
+Format: OpenVDB file-format version 224 (the stable on-disk format written
+by OpenVDB 7-10 and read by everything since), standard 5-4-3 trees
+(``Tree_float_5_4_3`` / ``Tree_vec3s_5_4_3``), per-grid compression flags
+COMPRESS_ACTIVE_MASK (= 2: values stored per the node value masks, no
+zlib/blosc needed — internal-node tile arrays collapse to zero bytes). Layout reconstructed from the
+public OpenVDB sources (io/Archive.cc, io/GridDescriptor.cc, tree/RootNode.h,
+tree/InternalNode.h, tree/LeafNode.h, math/Maps.cc); every section below
+cites the responsible class. The strict :func:`read_vdb` parser round-trips
+everything this module writes and doubles as the in-repo validator.
+
+Voxel layout note: an OpenVDB leaf buffer is x-major/z-minor
+(``offset = (x<<6)|(y<<3)|z``) — identical to this framework's flat [T,512]
+tile layout (core/layout.py), so leaf buffers are raw memcpy of tile rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+MAGIC = 0x56444220  # int64 " BDV" (openvdb/io/Archive.cc writeHeader step 1)
+FILE_VERSION = 224  # OPENVDB_FILE_VERSION_MULTIPASS_IO
+LIB_MAJOR, LIB_MINOR = 8, 1
+
+# io/Compression.h codes (the subset the mask-compressed, unzipped path uses)
+NO_MASK_AND_ALL_VALS = 6
+MASK_AND_NO_INACTIVE_VALS = 3
+COMPRESS_ACTIVE_MASK = 2  # per-grid compression flags
+
+_LEAF_LOG2, _INT2_LOG2, _INT1_LOG2 = 3, 4, 5
+_LEAF_DIM = 8
+_INT2_SPAN = 128  # 16 children of 8
+_INT1_SPAN = 4096  # 32 children of 128
+
+
+def _ws(parts: List[bytes], s: str):
+    """io::writeString: uint32 length + chars."""
+    b = s.encode()
+    parts.append(struct.pack("<I", len(b)))
+    parts.append(b)
+
+
+def _meta_map(parts: List[bytes], items: List[Tuple[str, str, bytes]]):
+    """MetaMap::writeMeta: uint32 count; per item name, typeName,
+    uint32 byte-size + raw value (Metadata::write)."""
+    parts.append(struct.pack("<I", len(items)))
+    for name, typ, raw in items:
+        _ws(parts, name)
+        _ws(parts, typ)
+        parts.append(struct.pack("<I", len(raw)))
+        parts.append(raw)
+
+
+def _meta_str(name: str, s: str):
+    return (name, "string", s.encode())
+
+
+def _meta_i64(name: str, v: int):
+    return (name, "int64", struct.pack("<q", v))
+
+
+def _meta_vec3i(name: str, v):
+    return (name, "vec3i", struct.pack("<3i", *[int(x) for x in v]))
+
+
+def _meta_bool(name: str, v: bool):
+    return (name, "bool", struct.pack("<?", v))
+
+
+def _mask_words(bits: np.ndarray) -> bytes:
+    """NodeMask::save: raw little-endian uint64 words; bit i of the mask is
+    word i>>6, bit i&63."""
+    n = bits.shape[0]
+    assert n % 64 == 0
+    by = np.packbits(bits.astype(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+    return by.tobytes()
+
+
+class VdbGrid:
+    """One grid to serialize: leaf origins [N,3] (voxel coords, multiples of
+    8) + values [N,512] (float) or [3,N,512] (vec3s), flat x-major layout."""
+
+    def __init__(self, name: str, origins: np.ndarray, values: np.ndarray,
+                 voxel_size: float = 1.0, grid_class: str = "unknown",
+                 background: float = 0.0):
+        self.name = name
+        self.origins = np.asarray(origins, np.int32).reshape(-1, 3)
+        values = np.asarray(values, np.float32)
+        self.is_vec = values.ndim == 3
+        self.values = values
+        self.voxel_size = float(voxel_size)
+        self.grid_class = grid_class
+        self.background = float(background)
+        n = self.origins.shape[0]
+        assert (self.values.shape == (3, n, 512)) if self.is_vec else (
+            self.values.shape == (n, 512)), (self.values.shape, n)
+
+    @property
+    def grid_type(self) -> str:
+        return "Tree_vec3s_5_4_3" if self.is_vec else "Tree_float_5_4_3"
+
+
+def _build_tree(origins: np.ndarray):
+    """Group leaves into the 5-4-3 hierarchy.
+
+    Returns (root_children, leaf_order): root_children is a list of
+    (int1_origin, [(int2_offset, int2_origin, [(leaf_offset, leaf_idx)])])
+    sorted the way OpenVDB serializes (root: Coord-lexicographic map order,
+    RootNode.h writeTopology; internals: child iteration in bit-offset
+    order, InternalNode.h); leaf_order is the leaf index sequence of the
+    depth-first traversal, shared by the topology and buffer passes."""
+    o = origins.astype(np.int64)
+    int1_org = (o >> 12) << 12
+    int2_org = (o >> 7) << 7
+
+    def int_offset(child_org, node_org, child_span, log2):
+        loc = (child_org - node_org) // child_span
+        return (loc[:, 0] << (2 * log2)) + (loc[:, 1] << log2) + loc[:, 2]
+
+    off2 = int_offset(o, int2_org, _LEAF_DIM, _INT2_LOG2)  # leaf in int2
+    off1 = int_offset(int2_org, int1_org, _INT2_SPAN, _INT1_LOG2)
+
+    root: Dict[tuple, Dict[int, tuple]] = {}
+    for i in range(o.shape[0]):
+        k1 = tuple(int(v) for v in int1_org[i])
+        node1 = root.setdefault(k1, {})
+        node2 = node1.setdefault(int(off1[i]), (tuple(int(v) for v in int2_org[i]), {}))
+        node2[1][int(off2[i])] = i
+
+    leaf_order: List[int] = []
+    out = []
+    for k1 in sorted(root):  # root std::map: Coord lexicographic
+        n1 = root[k1]
+        kids1 = []
+        for o1 in sorted(n1):  # child iteration: bit-offset order
+            org2, leaves = n1[o1]
+            kids2 = sorted(leaves.items())
+            for _, li in kids2:
+                leaf_order.append(li)
+            kids1.append((o1, org2, kids2))
+        out.append((k1, kids1))
+    return out, leaf_order
+
+
+def _internal_topology(parts: List[bytes], child_offsets: List[int],
+                       log2: int, n_per_val: int, background: float):
+    """InternalNode::writeTopology: childMask, valueMask, metadata byte +
+    raw NUM_VALUES values (compression flags 0)."""
+    num = 1 << (3 * log2)
+    cm = np.zeros(num, bool)
+    cm[np.asarray(child_offsets, np.int64)] = True
+    parts.append(_mask_words(cm))
+    parts.append(_mask_words(np.zeros(num, bool)))  # valueMask: no active tiles
+    # MASK_AND_NO_INACTIVE_VALS + empty value mask => zero values on disk;
+    # the reader refills inactive slots with the background
+    parts.append(struct.pack("<b", MASK_AND_NO_INACTIVE_VALS))
+
+
+_FULL_LEAF_MASK = b"\xff" * 64
+
+
+def _leaf_buffers_blob(values: np.ndarray, leaf_order: List[int]) -> bytes:
+    """All leaf buffer records, vectorized: per leaf (LeafNode::writeBuffers)
+    valueMask (64B all-on: dense-per-leaf layout) + metadata byte + raw
+    512 values (x3 for vec3s, interleaved)."""
+    order = np.asarray(leaf_order, np.int64)
+    if values.ndim == 3:  # [3,N,512] -> interleave to [N,512,3]
+        v = np.moveaxis(values, 0, -1)[order]  # [n,512,3]
+        rec_vals = v.reshape(len(order), 512 * 3)
+    else:
+        rec_vals = values[order]
+    n = len(order)
+    vb = np.ascontiguousarray(rec_vals, np.float32).view(np.uint8).reshape(n, -1)
+    rec = np.empty((n, 65 + vb.shape[1]), np.uint8)
+    rec[:, :64] = np.frombuffer(_FULL_LEAF_MASK, np.uint8)
+    rec[:, 64] = NO_MASK_AND_ALL_VALS
+    rec[:, 65:] = vb
+    return rec.tobytes()
+
+
+def _grid_blob(g: VdbGrid) -> Tuple[bytes, int, int]:
+    """The grid's data section (everything after the descriptor offsets).
+    Returns (blob, block_rel, end_rel): topology/end offsets relative to the
+    blob start (== gridPos)."""
+    parts: List[bytes] = []
+    # Archive::setGridCompression: per-grid uint32 flags
+    parts.append(struct.pack("<I", COMPRESS_ACTIVE_MASK))
+
+    # grid metadata (GridBase::writeMeta + addStatsMetadata equivalents)
+    o = g.origins
+    bbox_min = o.min(axis=0) if len(o) else np.zeros(3, np.int32)
+    bbox_max = (o.max(axis=0) + 7) if len(o) else np.zeros(3, np.int32)
+    _meta_map(parts, [
+        _meta_str("class", g.grid_class),
+        _meta_vec3i("file_bbox_min", bbox_min),
+        _meta_vec3i("file_bbox_max", bbox_max),
+        _meta_i64("file_voxel_count", int(len(o)) * 512),
+        _meta_i64("file_mem_bytes", int(g.values.nbytes)),
+        _meta_bool("is_saved_as_half_float", False),
+        _meta_str("name", g.name),
+    ])
+
+    # transform: math::Transform::write = map type name + map payload;
+    # UniformScaleMap payload = ScaleMap::write's five Vec3d
+    _ws(parts, "UniformScaleMap")
+    s = g.voxel_size
+    for trip in ((s, s, s), (s, s, s), (1 / s,) * 3, (1 / s ** 2,) * 3,
+                 (1 / (2 * s),) * 3):
+        parts.append(struct.pack("<3d", *trip))
+
+    block_rel = sum(len(p) for p in parts)
+
+    # topology: TreeBase::writeTopology (int32 bufferCount=1) + root
+    parts.append(struct.pack("<i", 1))
+    root_children, leaf_order = _build_tree(o)
+    nval = 3 if g.is_vec else 1
+    bg = (struct.pack("<3f", g.background, g.background, g.background)
+          if g.is_vec else struct.pack("<f", g.background))
+    parts.append(bg)  # RootNode background
+    parts.append(struct.pack("<II", 0, len(root_children)))  # tiles, children
+    for k1, kids1 in root_children:
+        parts.append(struct.pack("<3i", *k1))
+        _internal_topology(parts, [off for off, _, _ in kids1], _INT1_LOG2,
+                           nval, g.background)
+        for _, _, kids2 in kids1:
+            _internal_topology(parts, [off for off, _ in kids2], _INT2_LOG2,
+                               nval, g.background)
+            # leaf topology: just the value mask (LeafNode::writeTopology)
+            parts.append(_FULL_LEAF_MASK * len(kids2))
+
+    # buffers: depth-first leaf records (Root/Internal/Leaf::writeBuffers)
+    parts.append(_leaf_buffers_blob(g.values, leaf_order))
+
+    blob = b"".join(parts)
+    return blob, block_rel, len(blob)
+
+
+def write_vdb(path: str, grids: List[VdbGrid]):
+    """Write a seekable .vdb archive (io::Archive::writeHeader + File layout,
+    grid descriptors carrying real byte offsets)."""
+    head: List[bytes] = []
+    head.append(struct.pack("<q", MAGIC))
+    head.append(struct.pack("<I", FILE_VERSION))
+    head.append(struct.pack("<II", LIB_MAJOR, LIB_MINOR))
+    head.append(struct.pack("<b", 1))  # hasGridOffsets (seekable)
+    # 36-char ASCII uuid (version >= 218); deterministic from content names
+    h = hashlib.md5(("|".join(g.name for g in grids)).encode()).hexdigest()
+    uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    head.append(uuid.encode())
+    _meta_map(head, [])  # file-level metadata
+    head.append(struct.pack("<I", len(grids)))
+
+    # First pass: descriptor headers (sizes known), then lay out the blobs.
+    descs: List[bytes] = []
+    blobs: List[Tuple[bytes, int, int]] = []
+    for g in grids:
+        p: List[bytes] = []
+        _ws(p, g.name)
+        _ws(p, g.grid_type)
+        _ws(p, "")  # instance parent (GridDescriptor::writeHeader)
+        descs.append(b"".join(p))
+        blobs.append(_grid_blob(g))
+
+    pos = sum(len(p) for p in head)
+    out: List[bytes] = list(head)
+    for d, (blob, block_rel, end_rel) in zip(descs, blobs):
+        pos += len(d) + 24  # descriptor + the three int64 offsets
+        grid_pos = pos
+        out.append(d)
+        out.append(struct.pack("<3q", grid_pos, grid_pos + block_rel,
+                               grid_pos + end_rel))
+        out.append(blob)
+        pos += len(blob)
+
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+# ---------------------------------------------------------------------------
+# Strict reader (round-trip validator + loader)
+# ---------------------------------------------------------------------------
+
+
+class _R:
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self.p = 0
+
+    def take(self, n: int) -> bytes:
+        out = self.b[self.p:self.p + n]
+        if len(out) != n:
+            raise ValueError(f"truncated read at {self.p}")
+        self.p += n
+        return out
+
+    def u32(self):
+        return struct.unpack("<I", self.take(4))[0]
+
+    def i32(self):
+        return struct.unpack("<i", self.take(4))[0]
+
+    def i64(self):
+        return struct.unpack("<q", self.take(8))[0]
+
+    def s(self):
+        return self.take(self.u32()).decode()
+
+    def f32(self, n=1):
+        return np.frombuffer(self.take(4 * n), np.float32)
+
+    def mask(self, num_bits: int) -> np.ndarray:
+        by = np.frombuffer(self.take(num_bits // 8), np.uint8)
+        return np.unpackbits(by.reshape(-1, 1), axis=1)[:, ::-1].reshape(-1).astype(bool)
+
+
+def _read_meta(r: _R) -> Dict[str, object]:
+    out = {}
+    for _ in range(r.u32()):
+        name = r.s()
+        typ = r.s()
+        raw = r.take(r.u32())
+        if typ == "string":
+            out[name] = raw.decode()
+        elif typ == "int64":
+            out[name] = struct.unpack("<q", raw)[0]
+        elif typ == "bool":
+            out[name] = bool(raw[0])
+        elif typ == "vec3i":
+            out[name] = struct.unpack("<3i", raw)
+        else:
+            out[name] = raw
+    return out
+
+
+def _read_internal(r: _R, log2: int, nval: int):
+    num = 1 << (3 * log2)
+    cm = r.mask(num)
+    vm = r.mask(num)  # value mask (no active tiles written by this module)
+    meta = struct.unpack("<b", r.take(1))[0]
+    if meta == NO_MASK_AND_ALL_VALS:
+        r.f32(num * nval)
+    elif meta == MASK_AND_NO_INACTIVE_VALS:
+        r.f32(int(vm.sum()) * nval)
+    else:
+        raise ValueError(f"unsupported internal-node value coding {meta}")
+    return np.flatnonzero(cm)
+
+
+def read_vdb(path: str):
+    """Parse a .vdb written by this module (strict; raises on any layout it
+    doesn't recognize). Returns a list of dicts with name/type/class/
+    voxel_size/origins [N,3]/values ([N,512] or [3,N,512])."""
+    r = _R(open(path, "rb").read())
+    if r.i64() != MAGIC:
+        raise ValueError("not a VDB file")
+    version = r.u32()
+    r.u32(), r.u32()  # library version
+    has_offsets = r.take(1)[0]
+    if version >= 218:
+        r.take(36)  # uuid
+    if 220 <= version < 222:
+        r.take(1)  # legacy isCompressed flag
+    _read_meta(r)
+    grids = []
+    for _ in range(r.u32()):
+        name = r.s()
+        gtype = r.s()
+        r.s()  # instance parent
+        if has_offsets:
+            r.i64(), r.i64(), r.i64()
+        comp = r.u32()
+        if comp not in (0, COMPRESS_ACTIVE_MASK):
+            raise ValueError(f"unsupported compression flags {comp}")
+        meta = _read_meta(r)
+        map_type = r.s()
+        if map_type != "UniformScaleMap":
+            raise ValueError(f"unsupported map {map_type}")
+        scale = struct.unpack("<3d", r.take(24))[0]
+        r.take(24 * 4)  # the other four precomputed Vec3d
+        if r.i32() != 1:
+            raise ValueError("expected 1 tree buffer")
+        nval = 3 if "vec3s" in gtype else 1
+        r.f32(nval)  # root background
+        ntiles, nchild = r.u32(), r.u32()
+        if ntiles:
+            raise ValueError("root tiles unsupported")
+        origins: List[np.ndarray] = []
+        counts: List[int] = []
+        for _ in range(nchild):
+            org1 = np.asarray(struct.unpack("<3i", r.take(12)), np.int64)
+            off1 = _read_internal(r, _INT1_LOG2, nval)
+            for o1 in off1:
+                loc = np.asarray(
+                    [o1 >> (2 * _INT1_LOG2), (o1 >> _INT1_LOG2) & 31, o1 & 31]
+                )
+                org2 = org1 + loc * _INT2_SPAN
+                off2 = _read_internal(r, _INT2_LOG2, nval)
+                for o2 in off2:
+                    l2 = np.asarray(
+                        [o2 >> (2 * _INT2_LOG2), (o2 >> _INT2_LOG2) & 15,
+                         o2 & 15]
+                    )
+                    origins.append(org2 + l2 * _LEAF_DIM)
+                    r.mask(512)  # leaf topology value mask
+                counts.append(len(off2))
+        n = len(origins)
+        vals = np.zeros((n, 512 * nval), np.float32)
+        for i in range(n):
+            m = r.mask(512)
+            meta_b = struct.unpack("<b", r.take(1))[0]
+            if meta_b == NO_MASK_AND_ALL_VALS:
+                vals[i] = r.f32(512 * nval)
+            elif meta_b == MASK_AND_NO_INACTIVE_VALS:
+                sel = np.repeat(m, nval)
+                vals[i][sel] = r.f32(int(m.sum()) * nval)
+            else:
+                raise ValueError(f"unsupported leaf value coding {meta_b}")
+        if nval == 3:
+            values = np.moveaxis(vals.reshape(n, 512, 3), -1, 0)
+        else:
+            values = vals
+        grids.append(dict(
+            name=name, type=gtype, grid_class=meta.get("class", "unknown"),
+            voxel_size=scale,
+            origins=np.asarray(origins, np.int32).reshape(-1, 3),
+            values=values,
+        ))
+    return grids
+
+
+# ---------------------------------------------------------------------------
+# FieldState convenience (mirrors io/nvdb.py's API)
+# ---------------------------------------------------------------------------
+
+
+def state_to_vdb(path: str, topo, state, voxel_size: float = 1.0,
+                 fields: Optional[List[str]] = None):
+    """Write active tiles of a FieldState as one .vdb with a grid per field
+    (+ velocity as Vec3S, class "staggered" — matching the reference's
+    GRID_STAGGERED metadata quirk, GridBuilder.hpp:185-186)."""
+    n = int(topo.n_active)
+    origins = (np.asarray(topo.origins[1:n + 1]) * _LEAF_DIM).astype(np.int32)
+    grids = [VdbGrid(
+        "velocity", origins,
+        np.asarray(state.velocity[:, 1:n + 1]), voxel_size,
+        grid_class="staggered",
+    )]
+    for name in (fields if fields is not None else sorted(state.scalars)):
+        grids.append(VdbGrid(
+            name, origins, np.asarray(state.scalars[name][1:n + 1]),
+            voxel_size,
+            grid_class="fog volume" if name == "density" else "unknown",
+        ))
+    write_vdb(path, grids)
+
+
+def vdb_to_state(path: str):
+    """Load a .vdb (written by this module) back into (tile_coords,
+    {name: [N,512]}, velocity [3,N,512] or None, voxel_size)."""
+    grids = read_vdb(path)
+    vel = None
+    scalars = {}
+    coords = None
+    vs = 1.0
+    for g in grids:
+        if coords is None:
+            coords = g["origins"] // _LEAF_DIM
+            vs = g["voxel_size"]
+        if g["values"].ndim == 3:
+            vel = g["values"]
+        else:
+            scalars[g["name"]] = g["values"]
+    return coords, scalars, vel, vs

@@ -39,6 +39,9 @@ class FireConfig:
     swirl: float = 2.0  # tangential velocity seed for interesting motion
     dilate_radius: int = 1
     occupancy_threshold: float = 1e-3
+    # voxel-granularity dilation (the reference SOP's "padding" param,
+    # SOP_HNanoSolver.cpp:188-199); None = tile-granularity dilate_radius
+    padding: "int | None" = None
 
 
 def default_params() -> SolverParams:
@@ -119,6 +122,7 @@ def run_fire(frames: int, params=None, cfg=None, topo=None, state=None,
             topo, state = expand_for_state(
                 topo, state, threshold=cfg.occupancy_threshold,
                 radius=cfg.dilate_radius, keep_tiles=keep,
+                padding=cfg.padding,
             )
             if topo is not prev:
                 hier = hierarchy_for(topo, params)

@@ -42,6 +42,9 @@ class PlumeConfig:
     velocity_jet: float = 8.0  # upward velocity set inside the emitter
     dilate_radius: int = 1
     occupancy_threshold: float = 1e-3
+    # voxel-granularity dilation (the reference SOP's "padding" param,
+    # SOP_HNanoSolver.cpp:188-199); None = tile-granularity dilate_radius
+    padding: "int | None" = None
 
 
 def emitter_tiles(cfg: PlumeConfig, pad: int = 1) -> np.ndarray:
@@ -138,6 +141,7 @@ def run_plume(
                 threshold=cfg.occupancy_threshold,
                 radius=cfg.dilate_radius,
                 keep_tiles=keep,
+                padding=cfg.padding,
             )
             if topo is not prev:
                 hier = hierarchy_for(topo, params)

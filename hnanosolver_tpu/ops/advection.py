@@ -73,6 +73,20 @@ def _clamp(d):
     return jnp.clip(d, -DISP_LIMIT, DISP_LIMIT)
 
 
+def cfl_clamped_count(topo: Topology, vel: jax.Array, dt: float,
+                      inv_dx: float) -> jax.Array:
+    """Number of active voxels whose semi-Lagrangian backtrace displacement
+    exceeds DISP_LIMIT on some axis — i.e. voxels where the CFL clamp
+    engages and the result diverges from the reference's unbounded trace
+    (`/root/reference/src/Cuda/Kernel.cu:139`). Jit-safe scalar; zero for
+    flows within the documented dt bound |u| * dt / dx < 7."""
+    from hnanosolver_tpu.core.topology import active_mask
+
+    d = jnp.abs(vel) * (dt * inv_dx)
+    hit = jnp.any(d > DISP_LIMIT, axis=0) * active_mask(topo)[:, None]
+    return jnp.sum(hit).astype(jnp.int32)
+
+
 def _corners(dx, dy, dz):
     """Displacements [C,512] -> (8 corner index arrays into the 27-table,
     8 weight arrays). Corner coords stay within [-8, 15] by the CFL clamp."""
@@ -119,11 +133,13 @@ def _advect_vmem(
     scaled_dt: float,
     sdf: Optional[jax.Array],
     trace_order: int = 1,
-    fast: bool = False,
+    fast="strict",
     fields_are_velocity: bool = False,
 ):
     """BFECC sampling via the chunked VMEM sampler (ops/pallas_interp2):
-    ONE unique-row gather per advection, reused by every sampling pass."""
+    ONE unique-row gather per advection, reused by every sampling pass.
+    ``fast``: dot-precision tier, "strict" | "balanced" | "fast"
+    (bools accepted: True = "fast" — legacy name kept for the public API)."""
     from hnanosolver_tpu.ops import pallas_interp2 as pi2
 
     base = [vel[0], vel[1], vel[2]]
@@ -148,7 +164,7 @@ def _advect_vmem(
         dx = _clamp(-mx * scaled_dt)
         dy = _clamp(-my * scaled_dt)
         dz = _clamp(-mz * scaled_dt)
-    elif trace_order >= 3:  # RK3 (Ralston)
+    elif trace_order == 3:  # RK3 (Ralston)
         k1x, k1y, k1z = vel[0], vel[1], vel[2]
         k2x, k2y, k2z = vel_at(
             _clamp(-0.5 * k1x * scaled_dt),
@@ -163,6 +179,27 @@ def _advect_vmem(
         dx = _clamp(-(2 * k1x + 3 * k2x + 4 * k3x) / 9.0 * scaled_dt)
         dy = _clamp(-(2 * k1y + 3 * k2y + 4 * k3y) / 9.0 * scaled_dt)
         dz = _clamp(-(2 * k1z + 3 * k2z + 4 * k3z) / 9.0 * scaled_dt)
+    elif trace_order >= 4:  # classic RK4 (reference rk4_integrate,
+        # /root/reference/src/Cuda/Utils.cuh — shipped but unused there)
+        k1x, k1y, k1z = vel[0], vel[1], vel[2]
+        k2x, k2y, k2z = vel_at(
+            _clamp(-0.5 * k1x * scaled_dt),
+            _clamp(-0.5 * k1y * scaled_dt),
+            _clamp(-0.5 * k1z * scaled_dt),
+        )
+        k3x, k3y, k3z = vel_at(
+            _clamp(-0.5 * k2x * scaled_dt),
+            _clamp(-0.5 * k2y * scaled_dt),
+            _clamp(-0.5 * k2z * scaled_dt),
+        )
+        k4x, k4y, k4z = vel_at(
+            _clamp(-k3x * scaled_dt),
+            _clamp(-k3y * scaled_dt),
+            _clamp(-k3z * scaled_dt),
+        )
+        dx = _clamp(-(k1x + 2 * k2x + 2 * k3x + k4x) / 6.0 * scaled_dt)
+        dy = _clamp(-(k1y + 2 * k2y + 2 * k3y + k4y) / 6.0 * scaled_dt)
+        dz = _clamp(-(k1z + 2 * k2z + 2 * k3z + k4z) / 6.0 * scaled_dt)
 
     if sdf is not None:
         d = pi2.sample_tables(topo, sdf_tables, 0, 1, dx, dy, dz)[0]
@@ -198,7 +235,7 @@ def _advect_chunked(
     chunk: int,
     trace_order: int = 1,
     interp: str | None = INTERP,
-    fast: bool = False,
+    fast="strict",
     fields_are_velocity: bool = False,
 ):
     """Core BFECC: returns (phiF, phiB) stacked [len(fields), T, 512].
@@ -261,7 +298,7 @@ def _advect_chunked(
                 dx = _clamp(-mx * scaled_dt)
                 dy = _clamp(-my * scaled_dt)
                 dz = _clamp(-mz * scaled_dt)
-            else:  # RK3 (Ralston)
+            elif trace_order == 3:  # RK3 (Ralston)
                 k1x, k1y, k1z = vx, vy, vz
                 k2x, k2y, k2z = vel_at(
                     _clamp(-0.5 * k1x * scaled_dt),
@@ -276,6 +313,26 @@ def _advect_chunked(
                 dx = _clamp(-(2 * k1x + 3 * k2x + 4 * k3x) / 9.0 * scaled_dt)
                 dy = _clamp(-(2 * k1y + 3 * k2y + 4 * k3y) / 9.0 * scaled_dt)
                 dz = _clamp(-(2 * k1z + 3 * k2z + 4 * k3z) / 9.0 * scaled_dt)
+            else:  # classic RK4 (reference rk4_integrate, Utils.cuh)
+                k1x, k1y, k1z = vx, vy, vz
+                k2x, k2y, k2z = vel_at(
+                    _clamp(-0.5 * k1x * scaled_dt),
+                    _clamp(-0.5 * k1y * scaled_dt),
+                    _clamp(-0.5 * k1z * scaled_dt),
+                )
+                k3x, k3y, k3z = vel_at(
+                    _clamp(-0.5 * k2x * scaled_dt),
+                    _clamp(-0.5 * k2y * scaled_dt),
+                    _clamp(-0.5 * k2z * scaled_dt),
+                )
+                k4x, k4y, k4z = vel_at(
+                    _clamp(-k3x * scaled_dt),
+                    _clamp(-k3y * scaled_dt),
+                    _clamp(-k3z * scaled_dt),
+                )
+                dx = _clamp(-(k1x + 2 * k2x + 2 * k3x + k4x) / 6.0 * scaled_dt)
+                dy = _clamp(-(k1y + 2 * k2y + 2 * k3y + k4y) / 6.0 * scaled_dt)
+                dz = _clamp(-(k1z + 2 * k2z + 2 * k3z + k4z) / 6.0 * scaled_dt)
         else:
             dx = _clamp(-vx * scaled_dt)
             dy = _clamp(-vy * scaled_dt)
@@ -292,7 +349,9 @@ def _advect_chunked(
             dz = jnp.where(hit, 0.0, dz)
         if interp == "pallas":
             def sample_many_fields(fs, dx, dy, dz):
-                return sample_fields_pallas(nbr27, list(fs), dx, dy, dz, fast=fast)
+                return sample_fields_pallas(
+                    nbr27, list(fs), dx, dy, dz, fast=fast in (True, "fast")
+                )
         else:
             def sample_many_fields(fs, dx, dy, dz):
                 return sample_many([table(f, nbr27) for f in fs], dx, dy, dz)
@@ -358,7 +417,7 @@ def advect_scalars_fused(
     sdf: Optional[jax.Array] = None,
     chunk: int = DEFAULT_CHUNK,
     trace_order: int = 1,
-    fast: bool = False,
+    fast="strict",
 ) -> Dict[str, jax.Array]:
     """BFECC-advect every scalar field by ``vel`` [3,T,512], sharing trace
     corners across fields (the fused advect_scalars kernel)."""
@@ -400,7 +459,7 @@ def advect_velocity(
     sdf: Optional[jax.Array] = None,
     chunk: int = DEFAULT_CHUNK,
     trace_order: int = 1,
-    fast: bool = False,
+    fast="strict",
 ) -> jax.Array:
     """BFECC self-advection of velocity with per-component clamping and the
     reference's near-boundary no-slip tail (Kernel.cu:354-453)."""

@@ -56,7 +56,7 @@ def _kernel(
     f_lo: int,
     f_hi: int,
     G: int,
-    fast: bool,
+    prec: str,  # "strict" (f32 HIGHEST) | "balanced" (manual bf16x3) | "fast"
     lnbr_ref,  # [G, 27] int32 SMEM: chunk-local neighbor rows
     dx_ref,  # [G, 512] f32
     dy_ref,
@@ -92,50 +92,59 @@ def _kernel(
     hy24 = _hat_at(ly, a24)
     hz24 = _hat_at(lz, a24)
 
-    def wblk(b):
-        """Weight block for (dy,dz) block b: [G, 64, 512], sublanes (y,z)."""
-        dyb, dzb = (b // 3) * 8, (b % 3) * 8
-        hy = jnp.repeat(hy24[:, dyb : dyb + 8, :], 8, axis=1)  # y elem-repeat
-        hz = pltpu.repeat(hz24[:, dzb : dzb + 8, :], 8, axis=1)  # z tile
-        return hy * hz
+    def split(x):
+        """f32 -> (bf16 hi, bf16 lo) with x ~= hi + lo (bf16x3 operands)."""
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
 
-    pairs = []
-    for i in range(5):
-        b0, b1 = 2 * i, 2 * i + 1
-        right = wblk(b1) if b1 <= 8 else jnp.zeros((G, 64, TILE), jnp.float32)
-        w = jnp.concatenate([wblk(b0), right], axis=1)  # [G, 128, 512]
-        pairs.append(w.astype(jnp.bfloat16) if fast else w)
+    # (dy,dz) weight blocks [G,64,512] each, from cached per-axis expansions
+    # (each hy-repeat / hz-tile feeds three blocks)
+    hyrep = [jnp.repeat(hy24[:, 8 * d : 8 * d + 8, :], 8, axis=1)
+             for d in range(3)]
+    hztil = [pltpu.repeat(hz24[:, 8 * d : 8 * d + 8, :], 8, axis=1)
+             for d in range(3)]
+    W = jnp.concatenate(
+        [hyrep[b // 3] * hztil[b % 3] for b in range(9)], axis=1
+    )  # [G, 576, 512]
 
     nfo = f_hi - f_lo
-    # All output fields batched into the dot's M dimension: M = 3*nfo*8
-    # (dx-block major, then field, then x-sublane). A per-field M of 24
-    # left >80% of the 128-row systolic array idle; batching fields makes
-    # the 5 pair-dots fat instead of issuing 5*nfo skinny ones.
-    t1 = None
-    for i in range(5):
-        b0, b1 = 2 * i, min(2 * i + 1, 8)
-
-        def half(b_h):
-            return jnp.concatenate(
-                [stbl[:, dxb * 9 + b_h, f_lo * 8 : f_hi * 8, :]
+    # ONE dot: all output fields batched into M (= 3*nfo*8: dx-block major,
+    # then field, then x-sublane; a per-field M of 24 left >80% of the
+    # 128-row systolic array idle) and all nine (dy,dz) blocks into K=576.
+    B = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [stbl[:, dxb * 9 + b, f_lo * 8 : f_hi * 8, :]
                  for dxb in range(3)],
                 axis=1,
             )  # [G, 3*nfo*8, 64]
+            for b in range(9)
+        ],
+        axis=2,
+    )  # [G, 3*nfo*8, 576]
 
-        b_sub = jnp.concatenate([half(b0), half(b1)], axis=2)
-        if fast:
-            b_sub = b_sub.astype(jnp.bfloat16)
-        # Parity mode needs true-f32 MXU passes: DEFAULT precision on TPU
-        # is one bf16 pass (~4e-3 rel err — measured 0.94 abs on a 150-max
-        # field), far off the <=1e-4 reference-parity target. fast mode
-        # keeps the single bf16 pass by construction.
-        d = jax.lax.dot_general(
-            b_sub, pairs[i],
+    def dot(a, b, precision=None):
+        return jax.lax.dot_general(
+            a, b,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=None if fast else jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # [G, 3*nfo*8, 512]
-        t1 = d if t1 is None else t1 + d
+
+    # TPU DEFAULT matmul precision is ONE bf16 pass (~4e-3 rel err —
+    # measured 0.94 abs on a 150-max field): fine for "fast" only.
+    # "strict" forces true-f32 passes via HIGHEST; "balanced" is a manual
+    # bf16x3 (hi/lo splits, drop lo*lo ~ 2^-16 rel) — Mosaic has no
+    # Precision.HIGH, so the 3-pass scheme is hand-rolled.
+    if prec == "fast":
+        t1 = dot(B.astype(jnp.bfloat16), W.astype(jnp.bfloat16))
+    elif prec == "balanced":
+        b_hi, b_lo = split(B)
+        w_hi, w_lo = split(W)
+        t1 = dot(b_hi, w_hi) + dot(b_hi, w_lo) + dot(b_lo, w_hi)
+    else:
+        t1 = dot(B, W, jax.lax.Precision.HIGHEST)
     # x-hat contraction per field (wxT is pair- and field-independent)
     for j in range(nfo):
         acc = None
@@ -151,7 +160,7 @@ def _kernel(
 
 @functools.lru_cache(maxsize=None)
 def _build(nc: int, U: int, C: int, T: int, nf: int, f_lo: int, f_hi: int,
-           interpret: bool, fast: bool):
+           interpret: bool, prec: str):
     G = min(GROUP, C)
     gpc = C // G  # groups per chunk
     nfo = f_hi - f_lo
@@ -160,7 +169,7 @@ def _build(nc: int, U: int, C: int, T: int, nf: int, f_lo: int, f_hi: int,
         2 * U * nf * 8 * 128 * 4 + G * 27 * nf * 8 * 128 * 4 + 24 * 1024 * 1024,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, nf, f_lo, f_hi, G, fast),
+        functools.partial(_kernel, nf, f_lo, f_hi, G, prec),
         grid=(nc, gpc),
         in_specs=[
             pl.BlockSpec((G, 27), lambda c, g: (c * gpc + g, 0),
@@ -213,14 +222,17 @@ def sample_tables(
     dx: jax.Array,
     dy: jax.Array,
     dz: jax.Array,
-    fast: bool = False,
+    prec="strict",
     interpret=None,
 ) -> List[jax.Array]:
     """Trilinear-sample fields [lo, hi) of a ``build_tables`` result at
     per-voxel displacements dx/dy/dz [T,512] (CFL-clamped < 7 voxels).
-    Returns a list of [T,512] arrays."""
+    Returns a list of [T,512] arrays. ``prec``: "strict" | "balanced" |
+    "fast" (bool accepted: True = "fast")."""
     if interpret is None:
         interpret = not _on_tpu()
+    if isinstance(prec, bool):
+        prec = "fast" if prec else "strict"
     T = topo.capacity
     nc, U = topo.chunk_uniq.shape
     C = T // nc
@@ -230,7 +242,7 @@ def sample_tables(
         s_lo = max(lo - base, 0)
         s_hi = min(hi - base, nf)
         if s_lo < s_hi:
-            fn = _build(nc, U, C, T, nf, s_lo, s_hi, bool(interpret), bool(fast))
+            fn = _build(nc, U, C, T, nf, s_lo, s_hi, bool(interpret), prec)
             o = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, s_hi-s_lo, 512]
             outs.extend(o[:, j, :] for j in range(s_hi - s_lo))
         base += nf

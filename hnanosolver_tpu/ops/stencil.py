@@ -70,14 +70,24 @@ def curl(topo: Topology, vel: jax.Array, factor: float) -> jax.Array:
     return jnp.stack([wx, wy, wz])
 
 
-def _curl_mag_at_offset(topo: Topology, vel: jax.Array, off, factor: float):
+def _curl_mag_at_offset(topo: Topology, vel: jax.Array, off, factor: float,
+                        tables=None):
     """|curl u| evaluated at voxel+off — matches the reference's pointwise
     recomputation through the tree sampler (Utils.cuh:226-243), which can be
-    nonzero just outside the active set."""
+    nonzero just outside the active set. ``tables``: pre-materialized
+    27-neighborhood tables per velocity component (the six offset
+    evaluations share them; without sharing each of the 72 reads would
+    re-gather a full [T, 27*512] table — 24x the needed HBM traffic)."""
+    from hnanosolver_tpu.core.layout import CX, CY, CZ
+    from hnanosolver_tpu.ops import shifts as sh
 
     def v(c, o):
-        return offset_view(
-            topo, vel[c], (off[0] + o[0], off[1] + o[1], off[2] + o[2])
+        ox, oy, oz = off[0] + o[0], off[1] + o[1], off[2] + o[2]
+        if tables is None:
+            return offset_view(topo, vel[c], (ox, oy, oz))
+        idx = sh.table_index(CX + ox, CY + oy, CZ + oz)
+        return sh.gather_table(
+            tables[c], jnp.broadcast_to(idx, vel[c].shape)
         )
 
     wx = ((v(2, (0, 1, 0)) - v(2, (0, -1, 0))) - (v(1, (0, 0, 1)) - v(1, (0, 0, -1)))) * factor
@@ -108,17 +118,20 @@ def vorticity_confinement(
     if s == 0:
         grad = jnp.zeros_like(omega)
     else:
+        from hnanosolver_tpu.ops.shifts import neighbor_table
+
+        tables = [neighbor_table(topo, vel[c]) for c in range(3)]
         gx = (
-            _curl_mag_at_offset(topo, vel, (s, 0, 0), factor)
-            - _curl_mag_at_offset(topo, vel, (-s, 0, 0), factor)
+            _curl_mag_at_offset(topo, vel, (s, 0, 0), factor, tables)
+            - _curl_mag_at_offset(topo, vel, (-s, 0, 0), factor, tables)
         ) * factor
         gy = (
-            _curl_mag_at_offset(topo, vel, (0, s, 0), factor)
-            - _curl_mag_at_offset(topo, vel, (0, -s, 0), factor)
+            _curl_mag_at_offset(topo, vel, (0, s, 0), factor, tables)
+            - _curl_mag_at_offset(topo, vel, (0, -s, 0), factor, tables)
         ) * factor
         gz = (
-            _curl_mag_at_offset(topo, vel, (0, 0, s), factor)
-            - _curl_mag_at_offset(topo, vel, (0, 0, -s), factor)
+            _curl_mag_at_offset(topo, vel, (0, 0, s), factor, tables)
+            - _curl_mag_at_offset(topo, vel, (0, 0, -s), factor, tables)
         ) * factor
         grad = jnp.stack([gx, gy, gz])
 

@@ -72,3 +72,24 @@ def check_determinism(step_fn: Callable, *args, runs: int = 2) -> None:
             for a, b in zip(ref, flat):
                 if not np.array_equal(a, b, equal_nan=True):
                     raise AssertionError("step is not bitwise deterministic")
+
+
+def check_cfl(topo: Topology, state: FieldState, params,
+              raise_on_clamp: bool = False) -> int:
+    """How many active voxels this step will CFL-clamp (ops/advection
+    clips backtrace displacements to <7 voxels; the reference traces
+    arbitrarily far, Kernel.cu:139). Returns the count; with
+    ``raise_on_clamp`` raises a diagnostic instead — use in debug runs to
+    catch dt/velocity combinations that silently diverge from the
+    reference. The safe bound is max|u| * dt / dx < 7."""
+    from hnanosolver_tpu.ops.advection import cfl_clamped_count
+
+    n = int(cfl_clamped_count(
+        topo, state.velocity, params.dt, params.inv_voxel_size
+    ))
+    if n and raise_on_clamp:
+        raise RuntimeError(
+            f"CFL clamp engaged on {n} voxels: |u|*dt/dx exceeds 7; reduce "
+            f"dt or voxel velocity (reference semantics diverge here)"
+        )
+    return n

@@ -182,3 +182,67 @@ def render_state(
             )
         return render_orthographic(dense, emission=emission, **kw)
     return render_perspective(dense, **kw)
+
+
+def write_apng(path: str, frames, delay_ms: int = 50) -> None:
+    """Animated PNG (APNG: acTL/fcTL/fdAT chunks) — a single self-playing
+    animation artifact with no external encoder (the environment has no
+    ffmpeg). Browsers and most viewers play APNG natively."""
+    frames = [np.clip(np.asarray(f) * 255.0, 0, 255).astype(np.uint8)
+              for f in frames]
+    h, w = frames[0].shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    def zdata(rgb: np.ndarray) -> bytes:
+        raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+        return zlib.compress(raw, 6)
+
+    out = [b"\x89PNG\r\n\x1a\n"]
+    out.append(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+    out.append(chunk(b"acTL", struct.pack(">II", len(frames), 0)))  # loop
+    seq = 0
+    for i, f in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHbb", seq, w, h, 0, 0, delay_ms, 1000, 0, 0
+        )
+        out.append(chunk(b"fcTL", fctl))
+        seq += 1
+        z = zdata(f)
+        if i == 0:
+            out.append(chunk(b"IDAT", z))
+        else:
+            out.append(chunk(b"fdAT", struct.pack(">I", seq) + z))
+            seq += 1
+    out.append(chunk(b"IEND", b""))
+    with open(path, "wb") as fh:
+        fh.write(b"".join(out))
+
+
+def render_turntable(
+    topo: Topology,
+    state: FieldState,
+    shape,
+    origin=(0, 0, 0),
+    frames: int = 24,
+    elevation: float = 0.9,
+    radius: float = 1.8,
+    size: Tuple[int, int] = (384, 384),
+    field: str = "density",
+    **kw,
+):
+    """Orbit the perspective raymarcher around the domain — the offline
+    equivalent of dragging HNanoViewer's camera
+    (`/root/reference/HNanoViewer/src/HNanoViewer.cpp:106-362`). Returns the
+    list of [H,W,3] frames; densification happens once."""
+    dense = np.asarray(
+        tiles_to_dense(topo, state.scalar_blocks(field), shape, origin)
+    )
+    out = []
+    for i in range(frames):
+        a = 2.0 * np.pi * i / frames
+        cam = (0.5 + radius * np.cos(a), elevation, 0.5 + radius * np.sin(a))
+        out.append(render_perspective(dense, cam_pos=cam, size=size, **kw))
+    return out

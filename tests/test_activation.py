@@ -92,3 +92,44 @@ def test_plume_grows_and_rises():
     assert top_y > 12.0 + 6.0  # matter above the emitter sphere
     # null tile invariant survived repeated remaps
     assert float(jnp.max(jnp.abs(state.velocity[:, 0]))) == 0.0
+
+
+def test_voxel_granularity_padding(rng):
+    """The reference's `padding` dilates VOXELS: matter hugging one corner
+    of a tile must activate only the tiles within `padding` voxels of that
+    corner, not the full 26-tile ring."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnanosolver_tpu.core.activation import (
+        occupied_voxel_bboxes,
+        topology_from_bboxes,
+    )
+    from hnanosolver_tpu.core.topology import build_topology
+    from hnanosolver_tpu.fields import zeros_state
+
+    topo = build_topology(np.array([[4, 4, 4]], np.int32))
+    state = zeros_state(topo)
+    # occupy exactly the (0,0,0) local corner voxel of the single tile
+    dens = jnp.zeros((topo.capacity, 512)).at[1, 0].set(1.0)
+    state = state.with_scalar("density", dens)
+
+    occ, lo, hi = occupied_voxel_bboxes(topo, state, threshold=1e-4)
+    assert bool(occ[1])
+    assert np.asarray(lo)[1].tolist() == [0, 0, 0]
+    assert np.asarray(hi)[1].tolist() == [0, 0, 0]
+
+    new = topology_from_bboxes(topo, np.asarray(occ), np.asarray(lo),
+                               np.asarray(hi), padding=1)
+    got = set(map(tuple, np.asarray(new.origins[1 : int(new.n_active) + 1]).tolist()))
+    # corner voxel (32,32,32) +-1 spans tiles {3,4}^3 = 8 tiles
+    want = {(x, y, z) for x in (3, 4) for y in (3, 4) for z in (3, 4)}
+    assert got == want, got
+
+    # padding spanning a full tile reaches the +x ring too
+    new8 = topology_from_bboxes(topo, np.asarray(occ), np.asarray(lo),
+                                np.asarray(hi), padding=8)
+    got8 = set(map(tuple, np.asarray(new8.origins[1 : int(new8.n_active) + 1]).tolist()))
+    assert (5, 4, 4) in got8 and (2, 3, 3) not in got8
+    # tile-granularity dilation would include the whole 26-ring around (4,4,4)
+    assert (5, 5, 5) not in got

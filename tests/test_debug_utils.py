@@ -58,3 +58,33 @@ def test_background_invariant_catches_violation():
     )
     with pytest.raises(AssertionError):
         check_background_invariant(topo, bad)
+
+
+def test_cfl_clamp_detection(rng):
+    """Fast flows (|u| dt/dx >= 7) silently deviate from the reference's
+    unbounded backtrace (Kernel.cu:139) — the debug check must count and
+    (on request) raise on them; slow flows must report zero."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from hnanosolver_tpu.config import SolverParams
+    from hnanosolver_tpu.core.topology import active_mask, build_topology_dense
+    from hnanosolver_tpu.fields import zeros_state
+    from hnanosolver_tpu.utils.debug import check_cfl
+
+    topo = build_topology_dense((16, 16, 16))
+    state = zeros_state(topo)
+    params = SolverParams(dt=1.0, voxel_size=0.5)  # dt/dx = 2
+    m = active_mask(topo)[:, None]
+    slow = state.replace(
+        velocity=jnp.ones((3, topo.capacity, 512)) * 0.5 * m[None]
+    )
+    assert check_cfl(topo, slow, params) == 0
+
+    vel = jnp.zeros((3, topo.capacity, 512)).at[1, 5, :8].set(10.0)
+    fast = state.replace(velocity=vel * m[None])
+    n = check_cfl(topo, fast, params)
+    assert n == 8, n
+    with pytest.raises(RuntimeError, match="CFL clamp"):
+        check_cfl(topo, fast, params, raise_on_clamp=True)

@@ -82,3 +82,40 @@ def test_render_and_png(tmp_path):
     write_png(p, img)
     with open(p, "rb") as f:
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_turntable_and_apng(tmp_path, rng):
+    """Orbit renders: frames differ across angles; APNG has valid chunks."""
+    import struct
+    import zlib as _zlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnanosolver_tpu.core.topology import active_mask, build_topology_dense
+    from hnanosolver_tpu.core.layout import positions_flat
+    from hnanosolver_tpu.fields import zeros_state
+    from hnanosolver_tpu.viewer.render import render_turntable, write_apng
+
+    topo = build_topology_dense((32, 32, 32))
+    state = zeros_state(topo)
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    # asymmetric blob so different view angles give different images
+    blob = jnp.exp(-((px - 8) ** 2 / 20 + (py - 16) ** 2 / 60 + (pz - 24) ** 2 / 10))
+    state = state.with_scalar("density", blob * active_mask(topo)[:, None])
+
+    frames = render_turntable(topo, state, (32, 32, 32), frames=4,
+                              size=(48, 48), steps=48)
+    assert len(frames) == 4
+    diffs = [float(np.abs(frames[0] - f).max()) for f in frames[1:]]
+    assert max(diffs) > 0.01, diffs
+
+    path = str(tmp_path / "turn.apng")
+    write_apng(path, frames)
+    raw = open(path, "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"acTL" in raw and b"fcTL" in raw and b"fdAT" in raw
+    # frame count in acTL
+    i = raw.index(b"acTL")
+    nf, loops = struct.unpack(">II", raw[i + 4 : i + 12])
+    assert nf == 4 and loops == 0

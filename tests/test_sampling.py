@@ -158,3 +158,37 @@ def test_local_trilinear_vector_and_offset(rng):
         np.testing.assert_allclose(
             np.asarray(got_n)[active], np.asarray(want_n)[active], err_msg=str(off)
         )
+
+
+def test_rk4_trace_wiring(rng):
+    """RK4 backtrace (reference rk4_integrate parity): exact agreement with
+    order-1 in a uniform flow (all orders collapse there), finite and
+    clamp-bounded output in a rotating flow."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnanosolver_tpu.core.layout import positions_flat
+    from hnanosolver_tpu.core.topology import active_mask, build_topology_dense
+    from hnanosolver_tpu.ops.advection import advect_scalars_fused
+
+    topo = build_topology_dense((16, 16, 16))
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    m = active_mask(topo)[:, None]
+    blob = jnp.exp(-((px - 8) ** 2 + (py - 8) ** 2 + (pz - 8) ** 2) / 12.0) * m
+    uni = jnp.stack([jnp.ones_like(blob), 0.5 * jnp.ones_like(blob),
+                     jnp.zeros_like(blob)]) * m
+    o1 = advect_scalars_fused(topo, uni, {"d": blob}, 0.5, 1.0, None,
+                              trace_order=1)["d"]
+    o4 = advect_scalars_fused(topo, uni, {"d": blob}, 0.5, 1.0, None,
+                              trace_order=4)["d"]
+    core = np.all([(np.asarray(p) >= 2) & (np.asarray(p) < 14)
+                   for p in (px, py, pz)], axis=0)
+    np.testing.assert_allclose(np.asarray(o4)[core], np.asarray(o1)[core],
+                               atol=1e-5)
+
+    rot = jnp.stack([-(pz - 8.0) * 0.3, jnp.zeros_like(px),
+                     (px - 8.0) * 0.3]) * m
+    o4r = advect_scalars_fused(topo, rot, {"d": blob}, 1.0, 1.0, None,
+                               trace_order=4)["d"]
+    assert np.isfinite(np.asarray(o4r)).all()
+    assert float(jnp.max(o4r)) <= float(jnp.max(blob)) + 1e-5  # BFECC clamp
