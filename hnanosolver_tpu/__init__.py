@@ -21,6 +21,17 @@ Public API (mirrors the reference's five SOP nodes, see README):
   - ``divergence_only``    — raw divergence output (HNanoProjectNonDivergent outdiv)
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even though this environment's sitecustomize
+    # imports jax (registering the tunneled-TPU backend) before user code
+    # runs: jax.config is still settable here — before any submodule can
+    # trigger backend initialization — which env vars alone are not.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from hnanosolver_tpu.config import SolverParams, CombustionParams
 from hnanosolver_tpu.core.topology import (
     Topology,

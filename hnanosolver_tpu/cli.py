@@ -18,6 +18,14 @@ import json
 import os
 import time
 
+# Honor JAX_PLATFORMS even though this environment's sitecustomize imports
+# jax (registering the TPU backend) before any env var can take effect —
+# jax.config is still settable until the first backend initialization.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def _add_solver_args(p: argparse.ArgumentParser):
     p.add_argument("--timestep", type=float, default=1.0 / 24.0)
@@ -121,8 +129,21 @@ def cmd_plume(args):
         )
 
     t0 = time.perf_counter()
-    topo, state = run_plume(args.frames, params=params, cfg=cfg, on_frame=on_frame)
-    print(f"done: {args.frames} frames in {time.perf_counter() - t0:.1f}s")
+    from hnanosolver_tpu.utils.interrupt import Interrupter
+
+    # Ctrl-C stops cleanly between frames and still writes a checkpoint —
+    # the cooperative cancellation the reference declares but never polls
+    # (HoudiniInterrupter, SURVEY §5.3).
+    with Interrupter() as intr:
+        topo, state = run_plume(
+            args.frames, params=params, cfg=cfg, on_frame=on_frame,
+            interrupter=intr,
+        )
+    if intr.was_interrupted():
+        _save_frame(args.format, args.out, "interrupted", topo, state, params, 0)
+        print("interrupted: wrote checkpoint, exiting cleanly")
+    else:
+        print(f"done: {args.frames} frames in {time.perf_counter() - t0:.1f}s")
 
 
 def cmd_fire(args):
@@ -189,6 +210,23 @@ def cmd_turntable(args):
     write_apng(os.path.join(args.out, "turntable.apng"), frames,
                delay_ms=args.delay_ms)
     print(f"wrote {len(frames)} orbit frames + turntable.apng to {args.out}")
+
+
+def cmd_view(args):
+    """Interactive WebGL raymarch viewer (the HNanoViewer equivalent,
+    `/root/reference/HNanoViewer/src/HNanoViewer.cpp:106-362`): serves an
+    orbit-camera volume renderer over HTTP, from a file or a live sim."""
+    from hnanosolver_tpu.viewer import webapp
+
+    if args.live:
+        src = webapp.live_source(
+            args.live, shape=tuple(args.view_box), params=_params(args)
+        )
+    else:
+        if not args.file:
+            raise SystemExit("view: pass a volume file or --live plume|fire")
+        src = webapp.file_source(args.file)
+    webapp.serve(src, port=args.port)
 
 
 def cmd_resume(args):
@@ -262,6 +300,18 @@ def main(argv=None):
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
     p.add_argument("--out", default="out/turntable")
     p.set_defaults(fn=cmd_turntable)
+
+    p = sub.add_parser(
+        "view", help="interactive WebGL volume viewer (file or live sim)"
+    )
+    _add_solver_args(p)
+    p.add_argument("file", nargs="?", default=None,
+                   help=".npz checkpoint, .nvdb or .vdb volume")
+    p.add_argument("--live", choices=["plume", "fire"], default=None,
+                   help="serve a live stepped simulation instead of a file")
+    p.add_argument("--port", type=int, default=8642)
+    p.add_argument("--view-box", type=int, nargs=3, default=[256, 256, 256])
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("resume", help="resume from an .npz checkpoint")
     _add_solver_args(p)

@@ -118,9 +118,15 @@ def run_plume(
     state: Optional[FieldState] = None,
     grow_every: int = 1,
     on_frame=None,
+    interrupter=None,
 ):
     """Host driver loop: step, then (periodically) re-activate topology to
-    follow the plume. Returns (topo, state)."""
+    follow the plume. Returns (topo, state).
+
+    ``interrupter``: optional utils.interrupt.Interrupter, polled between
+    frames (cooperative cancellation — the HoudiniInterrupter analog,
+    SURVEY §5.3); on interruption the loop stops cleanly and returns the
+    last completed state."""
     params = params or SolverParams()
     cfg = cfg or PlumeConfig()
     if topo is None:
@@ -132,6 +138,8 @@ def run_plume(
 
     hier = hierarchy_for(topo, params)
     for f in range(frames):
+        if interrupter is not None and interrupter.was_interrupted():
+            break
         state = plume_step(topo, state, params, cfg, hier)
         if grow_every and (f + 1) % grow_every == 0:
             prev = topo

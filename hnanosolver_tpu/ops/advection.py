@@ -136,6 +136,56 @@ def _advect_vmem(
     fast="strict",
     fields_are_velocity: bool = False,
 ):
+    """BFECC sampling on TPU. Dispatches at runtime between the fused
+    narrow-window megakernel (ops/pallas_bfecc — one launch, 16^3 windows,
+    ~3.4x fewer MXU MACs; valid while the step CFL number sdt*max|u| stays
+    under pallas_bfecc.CFL_LIMIT) and the wide multi-pass sampler
+    (_advect_vmem_wide — 24^3 windows, handles displacements up to the
+    global DISP_LIMIT). Both produce identical samples (to f32 rounding) in
+    the narrow regime, so the `lax.cond` is purely a performance switch."""
+    if trace_order != 1:
+        # RK backtraces need intermediate velocity sampling passes; only the
+        # multi-pass sampler supports them (the reference pipeline itself is
+        # first-order, Kernel.cu:129).
+        return _advect_vmem_wide(
+            topo, vel, fields, scaled_dt, sdf, trace_order, fast,
+            fields_are_velocity,
+        )
+    from hnanosolver_tpu.ops import pallas_bfecc as pb
+
+    base = [vel[0], vel[1], vel[2]]
+    if not fields_are_velocity:
+        base += list(fields)
+    f_lo = 0 if fields_are_velocity else 3
+    cfl = jnp.max(jnp.abs(vel)) * scaled_dt
+    dx = _clamp(-vel[0] * scaled_dt)
+    dy = _clamp(-vel[1] * scaled_dt)
+    dz = _clamp(-vel[2] * scaled_dt)
+
+    def fused(win):
+        def run(_):
+            pf, pbk = pb.bfecc_sample_fused(
+                topo, base, dx, dy, dz, scaled_dt, f_lo, sdf, fast, win=win
+            )
+            return jnp.stack(pf), jnp.stack(pbk)
+
+        return run
+
+    # the 24-window fused kernel is valid for any clamped displacement, so
+    # the cond is purely a MAC-count optimization for calm flows
+    return jax.lax.cond(cfl < pb.CFL_LIMIT, fused(16), fused(24), 0)
+
+
+def _advect_vmem_wide(
+    topo: Topology,
+    vel: jax.Array,
+    fields: Sequence[jax.Array],
+    scaled_dt: float,
+    sdf: Optional[jax.Array],
+    trace_order: int = 1,
+    fast="strict",
+    fields_are_velocity: bool = False,
+):
     """BFECC sampling via the chunked VMEM sampler (ops/pallas_interp2):
     ONE unique-row gather per advection, reused by every sampling pass.
     ``fast``: dot-precision tier, "strict" | "balanced" | "fast"
@@ -408,6 +458,17 @@ def _minmax_clamp(topo, phi0, phi_f, corr):
     return jnp.clip(corr, lo, hi)
 
 
+def _minmax_clamp_multi(topo, phi0s, phi_fs, corrs):
+    """Batched _minmax_clamp over F stacked fields [F,T,512]: one row
+    gather feeds all 6F face views (vs ~6F dispatched gathers)."""
+    lo = jnp.minimum(phi0s, phi_fs)
+    hi = jnp.maximum(phi0s, phi_fs)
+    views = sh.face_views_multi(topo, phi0s)  # [6,F,T,512]
+    lo = jnp.minimum(lo, jnp.min(views, axis=0))
+    hi = jnp.maximum(hi, jnp.max(views, axis=0))
+    return jnp.clip(corrs, lo, hi)
+
+
 def advect_scalars_fused(
     topo: Topology,
     vel: jax.Array,
@@ -428,11 +489,10 @@ def advect_scalars_fused(
     pf, pb = _advect_chunked(
         topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast
     )
-    out = {}
-    for i, n in enumerate(names):
-        corr = pf[i] + 0.5 * (fields[i] - pb[i])
-        out[n] = _minmax_clamp(topo, fields[i], pf[i], corr)
-    return out
+    phi0s = jnp.stack(fields)
+    corrs = pf + 0.5 * (phi0s - pb)
+    clamped = _minmax_clamp_multi(topo, phi0s, pf, corrs)
+    return {n: clamped[i] for i, n in enumerate(names)}
 
 
 def advect_scalar(
@@ -470,11 +530,8 @@ def advect_velocity(
         topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast,
         fields_are_velocity=True,
     )
-    comps = []
-    for c in range(3):
-        corr = pf[c] + 0.5 * (vel[c] - pb[c])
-        comps.append(_minmax_clamp(topo, vel[c], pf[c], corr))
-    out = jnp.stack(comps)
+    corrs = pf + 0.5 * (vel - pb)
+    out = _minmax_clamp_multi(topo, vel, pf, corrs)
 
     if sdf is not None:
         # advect_vector's tail: gate at 0.1 but blend with 1 - sdf/1.5

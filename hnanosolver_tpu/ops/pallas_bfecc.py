@@ -1,0 +1,372 @@
+"""Fused BFECC sampling megakernel (trace_order=1 path), 16- or 24-wide.
+
+The chunked VMEM sampler (ops/pallas_interp2.py) contracts every sample
+against the full 3x3x3-tile window: K = 24x24 (y,z) pairs = 576 and a
+24-row x window. In parity precision the dot runs 3 true-f32 MXU passes, so
+that one-hot inflation IS the advection cost (measured: strict pass ~4x the
+single-bf16-pass time, i.e. MXU-bound).
+
+This kernel fuses the whole BFECC sampling sequence of one advection into a
+single launch, in one of two window widths:
+
+  WIN=24 (valid for ALL flows): the classic 3x3x3-tile window. Fusion alone
+    saves one window assembly, one chunk-table DMA sweep, the [T,nf,512]
+    HBM round-trips between passes, and 1-3 launches.
+  WIN=16 (valid while the step CFL number sdt*max|u| < CFL_LIMIT): a
+    2x2x2-tile window at f-space [-4,12)^3, assembled with +-4 sublane/lane
+    rolls + half-selects — K drops 576->256 and the x window 24->16,
+    ~3.4x fewer MXU MACs on top of the fusion.
+
+Per group of 8 tiles (one grid step):
+  1. copy the 27 neighbor rows from the chunk's unique-row table (VMEM)
+  2. [WIN=16] combine them into the eight 16^3-window rows (wrap garbage
+     from the rolls lands on unselected lanes)
+  3. backtrace pass: hat weights at the back positions, ONE MXU dot
+     (M = nx*nf*8, K = nyz*64, N = 512) for all fields [+ an SDF probe dot
+     and position rejection first, when colliding]
+  4. forward re-trace d2 = clamp(d + u(back)*sdt) computed in-register
+     (same +-DISP_LIMIT clamp as the multi-pass path, which also bounds
+     WIN=24 positions for arbitrarily fast flows)
+  5. forward pass: weights at d2, dot for the advected fields [+ SDF probe]
+  6. write phiF and phiB
+
+The caller picks the width with a runtime `lax.cond` on the CFL number
+(ops/advection.py), so the switch is purely a performance decision: both
+widths produce identical samples to f32 rounding in the narrow regime.
+
+Reference hot loop being replaced: the fused MacCormack kernel
+`/root/reference/src/Cuda/Kernel.cu:118-266` (scalars) and
+`advect_vector` (`Kernel.cu:354-453`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hnanosolver_tpu.core.layout import TILE
+
+GROUP = 8  # tiles per program
+# narrow path is valid when sdt*max|u| stays under this (|d2| <= 2*CFL < 4);
+# 1.9 leaves 0.1 voxel of slack under the hard 2.0 bound
+CFL_LIMIT = 1.9
+# max |displacement| per axis (same constant as ops/advection.DISP_LIMIT;
+# also what makes WIN=24 valid for all flows: positions stay in [1, 23))
+DISP_LIMIT = 7.0 - 1e-3
+
+
+def _on_tpu() -> bool:
+    try:
+        d = jax.devices()[0]
+        return d.platform == "tpu" or "TPU" in str(d)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _hat_at(local, a):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(local - a))
+
+
+def _split(x):
+    """f32 -> (bf16 hi, bf16 lo), x ~= hi + lo (manual bf16x3 operands)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _assemble_stbl(G: int, nf: int, lnbr_ref, tbl_ref, stbl):
+    """Copy this group's 27 neighbor rows from the chunk table into scratch
+    (stbl [G, 27*nf, 8, 64], dx-major: row d*nf+f, d = (dx+1)*9+(dy+1)*3+(dz+1))."""
+
+    def asm(i, carry):
+        g = i // 27
+        d = i % 27
+        stbl[g, pl.ds(d * nf, nf)] = tbl_ref[0, pl.ds(lnbr_ref[g, d] * nf, nf)]
+        return carry
+
+    jax.lax.fori_loop(0, G * 27, asm, 0)
+
+
+def _combine_window16(nf: int, stbl, wtbl):
+    """Fill wtbl [G, 8*nf, 8, 64] with the 2x2x2-tile 16^3-window rows.
+
+    Window row W = Xw*4 + Yw*2 + Zw covers f-space tiles (Xw-1..Xw, ...)
+    combined at the fixed -4 shift per axis: per axis two +-4 rolls (mod the
+    axis size, pltpu.roll wants shifts >= 0: -4 over 8 sublanes == +4, -32
+    over 64 lanes == +32, -4 over 64 lanes == +60) and a half-select; the
+    wrap garbage lands on unselected lanes."""
+    xm = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2) < 4
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 64), 3)
+    ym = lane < 32  # y_local = lane // 8 < 4
+    zm = lane % 8 < 4
+
+    for Xw in (0, 1):
+        # stbl 27-dim is dx-major: rows with dx = Xw-1 at [Xw*9, Xw*9+9)
+        lo = stbl[:, Xw * 9 * nf : (Xw * 9 + 9) * nf]
+        hi = stbl[:, (Xw + 1) * 9 * nf : ((Xw + 1) * 9 + 9) * nf]
+        xp = jnp.where(
+            xm,
+            pltpu.roll(lo, 4, axis=2),
+            pltpu.roll(hi, 4, axis=2),
+        )  # [G, 9*nf, 8, 64]
+        for Yw in (0, 1):
+            ylo = xp[:, Yw * 3 * nf : (Yw * 3 + 3) * nf]
+            yhi = xp[:, (Yw + 1) * 3 * nf : ((Yw + 1) * 3 + 3) * nf]
+            yp = jnp.where(
+                ym,
+                pltpu.roll(ylo, 32, axis=3),
+                pltpu.roll(yhi, 32, axis=3),
+            )  # [G, 3*nf, 8, 64]
+            for Zw in (0, 1):
+                zlo = yp[:, Zw * nf : (Zw + 1) * nf]
+                zhi = yp[:, (Zw + 1) * nf : (Zw + 2) * nf]
+                win = jnp.where(
+                    zm,
+                    pltpu.roll(zlo, 60, axis=3),
+                    pltpu.roll(zhi, 4, axis=3),
+                )  # [G, nf, 8, 64]
+                W = Xw * 4 + Yw * 2 + Zw
+                wtbl[:, W * nf : (W + 1) * nf] = win
+
+
+def _weights(G: int, win: int, dx, dy, dz):
+    """Hat-weight operands at window positions (window width ``win``, f-space
+    offset (win-8)/2). Returns (wxT [G,win,512], W [G,(win//8)^2*64,512])
+    with K order = (Yw,Zw) block major, (y_l*8+z_l) minor."""
+    nb = win // 8
+    off = float((win - 8) // 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
+    cx = (col // 64).astype(jnp.float32)
+    cy = ((col // 8) % 8).astype(jnp.float32)
+    cz = (col % 8).astype(jnp.float32)
+    lx = (cx + off + dx)[:, None, :]  # window coords [0, win)
+    ly = (cy + off + dy)[:, None, :]
+    lz = (cz + off + dz)[:, None, :]
+    aw = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1).astype(jnp.float32)
+    wxT = _hat_at(lx, aw)  # [G, win, 512]
+    hy = _hat_at(ly, aw)
+    hz = _hat_at(lz, aw)
+    hyrep = [jnp.repeat(hy[:, 8 * d : 8 * d + 8, :], 8, axis=1) for d in range(nb)]
+    hztil = [pltpu.repeat(hz[:, 8 * d : 8 * d + 8, :], 8, axis=1) for d in range(nb)]
+    W = jnp.concatenate(
+        [hyrep[b // nb] * hztil[b % nb] for b in range(nb * nb)], axis=1
+    )  # [G, nb*nb*64, 512]
+    return wxT, W
+
+
+def _sample_span(G, nf, win, f_lo, f_hi, rows, wxT, W, prec):
+    """One MXU pass over fields [f_lo, f_hi): returns list of [G,512].
+    ``rows(Xw, b)`` -> [G, nfo, 8, 64] window rows for x-block Xw and
+    (y,z)-block b."""
+    nb = win // 8
+    nfo = f_hi - f_lo
+    B = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [rows(Xw, b).reshape(G, nfo * 8, 64) for Xw in range(nb)],
+                axis=1,
+            )  # [G, nb*nfo*8, 64]
+            for b in range(nb * nb)
+        ],
+        axis=2,
+    )  # [G, nb*nfo*8, nb*nb*64]
+
+    def dot(a, b, precision=None):
+        return jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    if prec == "fast":
+        t1 = dot(B.astype(jnp.bfloat16), W.astype(jnp.bfloat16))
+    elif prec == "balanced":
+        b_hi, b_lo = _split(B)
+        w_hi, w_lo = _split(W)
+        t1 = dot(b_hi, w_hi) + dot(b_hi, w_lo) + dot(b_lo, w_hi)
+    else:
+        t1 = dot(B, W, jax.lax.Precision.HIGHEST)
+    outs = []
+    for j in range(nfo):
+        acc = None
+        for Xw in range(nb):
+            m0 = (Xw * nfo + j) * 8
+            part = jnp.sum(
+                wxT[:, Xw * 8 : Xw * 8 + 8, :] * t1[:, m0 : m0 + 8, :], axis=1
+            )
+            acc = part if acc is None else acc + part
+        outs.append(acc)
+    return outs
+
+
+def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
+    nf_out = nb - f_lo
+    narrow = win == 16
+
+    def kernel(lnbr_ref, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref, *scratch):
+        stbl = scratch[0]
+        _assemble_stbl(G, nf_all, lnbr_ref, tbl_ref, stbl)
+        if narrow:
+            wtbl = scratch[1]
+            _combine_window16(nf_all, stbl, wtbl)
+
+            def rows_of(flo, fhi):
+                def rows(Xw, b):
+                    W = Xw * 4 + b
+                    return wtbl[:, W * nf_all + flo : W * nf_all + fhi]
+
+                return rows
+        else:
+
+            def rows_of(flo, fhi):
+                def rows(Xw, b):
+                    d = Xw * 9 + b
+                    return stbl[:, d * nf_all + flo : d * nf_all + fhi]
+
+                return rows
+
+        def sample(flo, fhi, wxT, W, p):
+            return _sample_span(
+                G, nf_all, win, flo, fhi, rows_of(flo, fhi), wxT, W, p
+            )
+
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        if has_sdf:
+            # probe the SDF (last table field) at the raw back position;
+            # traces entering the solid stay home (Kernel.cu:141-155).
+            # Probes always run in strict precision, like the wide path.
+            wxT, W = _weights(G, win, dx, dy, dz)
+            d = sample(nf_all - 1, nf_all, wxT, W, "strict")[0]
+            hit = d < 0.0
+            dx = jnp.where(hit, 0.0, dx)
+            dy = jnp.where(hit, 0.0, dy)
+            dz = jnp.where(hit, 0.0, dz)
+
+        wxT, W = _weights(G, win, dx, dy, dz)
+        back = sample(0, nb, wxT, W, prec)
+        # forward re-trace from the back position (BFECC error estimate);
+        # the clamp matches the multi-pass path and keeps WIN=24 positions
+        # in-window for arbitrarily fast flows (narrow mode never hits it)
+        d2x = jnp.clip(dx + back[0] * sdt, -DISP_LIMIT, DISP_LIMIT)
+        d2y = jnp.clip(dy + back[1] * sdt, -DISP_LIMIT, DISP_LIMIT)
+        d2z = jnp.clip(dz + back[2] * sdt, -DISP_LIMIT, DISP_LIMIT)
+        if has_sdf:
+            wxT2, W2 = _weights(G, win, d2x, d2y, d2z)
+            d2 = sample(nf_all - 1, nf_all, wxT2, W2, "strict")[0]
+            hit2 = d2 < 0.0
+            d2x = jnp.where(hit2, dx, d2x)
+            d2y = jnp.where(hit2, dy, d2y)
+            d2z = jnp.where(hit2, dz, d2z)
+        wxT2, W2 = _weights(G, win, d2x, d2y, d2z)
+        phib = sample(f_lo, nb, wxT2, W2, prec)
+
+        for j in range(nf_out):
+            out_ref[:, j, :] = back[f_lo + j]
+        for j in range(nf_out):
+            out_ref[:, nf_out + j, :] = phib[j]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win):
+    G = min(GROUP, C)
+    gpc = C // G
+    nf_out = nb - f_lo
+    vmem = min(
+        120 * 1024 * 1024,
+        2 * U * nf_all * 8 * 128 * 4
+        + (27 + 8) * G * nf_all * 8 * 128 * 4
+        + 32 * 1024 * 1024,
+    )
+    scratch = [pltpu.VMEM((G, 27 * nf_all, 8, 64), jnp.float32)]
+    if win == 16:
+        scratch.append(pltpu.VMEM((G, 8 * nf_all, 8, 64), jnp.float32))
+    return pl.pallas_call(
+        _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win),
+        grid=(nc, gpc),
+        in_specs=[
+            pl.BlockSpec((G, 27), lambda c, g: (c * gpc + g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, TILE), lambda c, g: (c * gpc + g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TILE), lambda c, g: (c * gpc + g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, TILE), lambda c, g: (c * gpc + g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U * nf_all, 8, 64), lambda c, g: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, 2 * nf_out, TILE), lambda c, g: (c * gpc + g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, 2 * nf_out, TILE), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )
+
+
+def build_table(topo, fields: Sequence[jax.Array]) -> jax.Array:
+    """Per-chunk unique neighborhood rows of ALL ``fields`` in the
+    megakernel layout [nc, U*nf, 8, 64] (row u*nf+f = field f of unique
+    row u). Unlike pallas_interp2.build_tables there is no MAX_NF split —
+    the fused kernel needs every field in one table."""
+    T = topo.capacity
+    uniq = topo.chunk_uniq
+    nf = len(fields)
+    flat = jnp.concatenate(list(fields), axis=0)  # [nf*T, 512]
+    offs = (jnp.arange(nf, dtype=jnp.int32) * T)[None, None, :]
+    idx = (uniq[:, :, None] + offs).reshape(-1)
+    nc, U = uniq.shape
+    return jnp.take(flat, idx, axis=0).reshape(nc, U * nf, 8, 64)
+
+
+def bfecc_sample_fused(
+    topo,
+    fields: Sequence[jax.Array],
+    dx: jax.Array,
+    dy: jax.Array,
+    dz: jax.Array,
+    sdt: float,
+    f_lo: int,
+    sdf: Optional[jax.Array] = None,
+    prec: str = "strict",
+    interpret=None,
+    win: int = 16,
+) -> Tuple[List[jax.Array], List[jax.Array]]:
+    """Fused BFECC sampling: returns (phiF list over fields[f_lo:],
+    phiB list over fields[f_lo:]). ``fields[0:3]`` MUST be the velocity
+    components (used for the in-kernel forward re-trace); for velocity
+    self-advection pass f_lo=0, for scalars f_lo=3.
+
+    ``win``: 24 = full 3x3x3-tile window, valid for any caller-clamped
+    displacements; 16 = narrow window, requires sdt*max|u| < CFL_LIMIT."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if isinstance(prec, bool):
+        prec = "fast" if prec else "strict"
+    assert win in (16, 24), win
+    nb = len(fields)
+    all_fields = list(fields) + ([sdf] if sdf is not None else [])
+    nf_all = len(all_fields)
+    T = topo.capacity
+    nc, U = topo.chunk_uniq.shape
+    C = T // nc
+    tbl = build_table(topo, all_fields)
+    fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None, float(sdt),
+                bool(interpret), prec, int(win))
+    out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
+    nf_out = nb - f_lo
+    return (
+        [out[:, j, :] for j in range(nf_out)],
+        [out[:, nf_out + j, :] for j in range(nf_out)],
+    )

@@ -46,15 +46,17 @@ def _on_tpu() -> bool:
 
 
 def _kernel_lagged(K: int, omega: float, dx2: float,
-                   p_ref, div_ref, porg_ref, *rest):
+                   p_ref, div_ref, porg_ref, faces_ref, out_ref):
     """K red+black sweep pairs per launch with the cross-tile halo gathered
     ONCE (in-tile neighbor reads stay exact via lane rolls; cross-tile face
     values lag by up to 2K-1 half-sweeps). The reference's own cross-block
     ordering is chaotic (in-place global updates, no inter-block sync —
     `/root/reference/src/Cuda/Kernel.cu:591-623`), so this matches its
-    semantics class; convergence is compared by residual (SURVEY §7.4)."""
-    nbr_refs = rest[:6]
-    out_ref = rest[6]
+    semantics class; convergence is compared by residual (SURVEY §7.4).
+
+    ``faces_ref`` [6, G, 512]: the six pre-gathered face-neighbor rows,
+    _DIRS order — ONE XLA gather feeds all six (the six separate takes were
+    ~5 extra dispatches per halo block, ~42 us each)."""
     col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
     cx, cy, cz = col // 64, (col // 8) % 8, col % 8
     masks = {
@@ -66,8 +68,8 @@ def _kernel_lagged(K: int, omega: float, dx2: float,
         (0, 0, -1): cz == 0,
     }
     fixes = [
-        pltpu.roll(ref[:], _ROLLS[off][1] % TILE, 1)
-        for off, ref in zip(_DIRS, nbr_refs)
+        pltpu.roll(faces_ref[di], _ROLLS[off][1] % TILE, 1)
+        for di, off in enumerate(_DIRS)
     ]
     parity = (porg_ref[:] + cx + cy + cz) & 1
     in_dom = porg_ref[:] < 2
@@ -92,10 +94,13 @@ def _kernel_lagged(K: int, omega: float, dx2: float,
 @functools.lru_cache(maxsize=None)
 def _build_lagged(K: int, omega: float, dx2: float, T: int, interpret: bool):
     spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec(
+        (6, G, TILE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         functools.partial(_kernel_lagged, K, omega, dx2),
         grid=(T // G,),
-        in_specs=[spec] * 9,
+        in_specs=[spec, spec, spec, fspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((T, TILE), jnp.float32),
         interpret=interpret,
@@ -133,11 +138,12 @@ def solve_pressure_lagged(
     fn = _build_lagged(
         int(halo_lag), float(omega), float(dx) * float(dx), T, bool(interpret)
     )
-    nbr_cols = [topo.nbr[:, d_of(off)] for off in _DIRS]
+    # one fused gather for all six face directions per halo block
+    nbr6 = jnp.concatenate([topo.nbr[:, d_of(off)] for off in _DIRS])
 
     def body(_, p):
-        faces = [jnp.take(p, c, axis=0) for c in nbr_cols]
-        return fn(p, div, porg, *faces)
+        faces = jnp.take(p, nbr6, axis=0).reshape(6, T, TILE)
+        return fn(p, div, porg, faces)
 
     return jax.lax.fori_loop(0, iterations // halo_lag, body, p)
 

@@ -112,28 +112,31 @@ def vorticity_confinement(
     default 0.5 the offset truncates to 0 and the force vanishes. We keep
     that truncation for parity."""
     s = int(factor_scale)
+    if s == 0:
+        # Offset 0 makes every grad component an exact 0, so N = 0/(0+1e-5)
+        # = 0 and force = N x omega = 0: the reference's kernel produces
+        # u += 0 here (it still pays the launch; we don't have to). The SOP
+        # default factor_scale 0.5 lands on this path.
+        return vel
     factor = 0.5 * inv_dx
     omega = curl(topo, vel, factor)
 
-    if s == 0:
-        grad = jnp.zeros_like(omega)
-    else:
-        from hnanosolver_tpu.ops.shifts import neighbor_table
+    from hnanosolver_tpu.ops.shifts import neighbor_table
 
-        tables = [neighbor_table(topo, vel[c]) for c in range(3)]
-        gx = (
-            _curl_mag_at_offset(topo, vel, (s, 0, 0), factor, tables)
-            - _curl_mag_at_offset(topo, vel, (-s, 0, 0), factor, tables)
-        ) * factor
-        gy = (
-            _curl_mag_at_offset(topo, vel, (0, s, 0), factor, tables)
-            - _curl_mag_at_offset(topo, vel, (0, -s, 0), factor, tables)
-        ) * factor
-        gz = (
-            _curl_mag_at_offset(topo, vel, (0, 0, s), factor, tables)
-            - _curl_mag_at_offset(topo, vel, (0, 0, -s), factor, tables)
-        ) * factor
-        grad = jnp.stack([gx, gy, gz])
+    tables = [neighbor_table(topo, vel[c]) for c in range(3)]
+    gx = (
+        _curl_mag_at_offset(topo, vel, (s, 0, 0), factor, tables)
+        - _curl_mag_at_offset(topo, vel, (-s, 0, 0), factor, tables)
+    ) * factor
+    gy = (
+        _curl_mag_at_offset(topo, vel, (0, s, 0), factor, tables)
+        - _curl_mag_at_offset(topo, vel, (0, -s, 0), factor, tables)
+    ) * factor
+    gz = (
+        _curl_mag_at_offset(topo, vel, (0, 0, s), factor, tables)
+        - _curl_mag_at_offset(topo, vel, (0, 0, -s), factor, tables)
+    ) * factor
+    grad = jnp.stack([gx, gy, gz])
 
     # normalize with the reference's +1e-5 regularizer (Kernel.cu:1015)
     glen = jnp.sqrt(jnp.sum(grad * grad, axis=0, keepdims=True)) + 1e-5

@@ -1,0 +1,158 @@
+"""Fused narrow-window BFECC megakernel (ops/pallas_bfecc) vs the wide
+multi-pass sampler — interpret mode (CPU).
+
+The megakernel must reproduce the wide path's samples to f32 rounding in
+its validity regime (all |displacement| < 4), including on sparse
+topologies with missing neighbors (background zeros) and with SDF trace
+rejection. Reference being modeled: the fused MacCormack kernel
+`/root/reference/src/Cuda/Kernel.cu:118-266`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnanosolver_tpu.core.topology import build_topology, build_topology_dense
+from hnanosolver_tpu.ops import advection as adv
+from hnanosolver_tpu.ops import pallas_bfecc as pb
+from hnanosolver_tpu.ops import pallas_interp2 as pi2
+
+ATOL = 2e-5
+
+
+def _rand_fields(rng, T, n):
+    return [jnp.asarray(rng.normal(size=(T, 512)).astype(np.float32)) for _ in range(n)]
+
+
+def _wide_bfecc(topo, fields, dx, dy, dz, sdt, f_lo, sdf):
+    """The multi-pass reference: probe/reject, back pass, re-trace, fwd pass."""
+    tabs = pi2.build_tables(topo, fields)
+    st = pi2.build_tables(topo, [sdf]) if sdf is not None else None
+    nb = len(fields)
+    if sdf is not None:
+        d = pi2.sample_tables(topo, st, 0, 1, dx, dy, dz, "strict", interpret=True)[0]
+        hit = d < 0.0
+        dx = jnp.where(hit, 0.0, dx)
+        dy = jnp.where(hit, 0.0, dy)
+        dz = jnp.where(hit, 0.0, dz)
+    back = pi2.sample_tables(topo, tabs, 0, nb, dx, dy, dz, "strict", interpret=True)
+    lim = 7.0 - 1e-3  # advection.DISP_LIMIT, applied by both paths
+    d2x = jnp.clip(dx + back[0] * sdt, -lim, lim)
+    d2y = jnp.clip(dy + back[1] * sdt, -lim, lim)
+    d2z = jnp.clip(dz + back[2] * sdt, -lim, lim)
+    if sdf is not None:
+        d2 = pi2.sample_tables(topo, st, 0, 1, d2x, d2y, d2z, "strict", interpret=True)[0]
+        hit2 = d2 < 0.0
+        d2x = jnp.where(hit2, dx, d2x)
+        d2y = jnp.where(hit2, dy, d2y)
+        d2z = jnp.where(hit2, dz, d2z)
+    phib = pi2.sample_tables(topo, tabs, f_lo, nb, d2x, d2y, d2z, "strict", interpret=True)
+    return back[f_lo:], phib
+
+
+def _sparse_topo(rng):
+    box = np.array([(x, y, z) for x in range(6) for y in range(6) for z in range(6)])
+    return build_topology(box[rng.random(len(box)) < 0.5])
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_scalars_mode_matches_wide(sparse):
+    rng = np.random.default_rng(3)
+    topo = _sparse_topo(rng) if sparse else build_topology_dense((24, 24, 24))
+    T = topo.capacity
+    vel = _rand_fields(rng, T, 3)
+    fields = vel + _rand_fields(rng, T, 2)
+    sdt = 0.35
+    dx = jnp.clip(-vel[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-vel[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-vel[2] * sdt, -1.8, 1.8)
+    back, phib = _wide_bfecc(topo, fields, dx, dy, dz, sdt, 3, None)
+    pf, pbk = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True
+    )
+    for i in range(2):
+        assert float(jnp.max(jnp.abs(pf[i] - back[i]))) < ATOL
+        assert float(jnp.max(jnp.abs(pbk[i] - phib[i]))) < ATOL
+
+
+def test_win24_fast_flow_matches_wide():
+    """The 24-window fused kernel matches the multi-pass path for fast
+    flows (displacements at the +-7 clamp), where the narrow window is
+    invalid."""
+    rng = np.random.default_rng(9)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    vel = [f * 8.0 for f in _rand_fields(rng, T, 3)]
+    fields = vel + _rand_fields(rng, T, 2)
+    sdt = 0.5
+    lim = 7.0 - 1e-3
+    dx = jnp.clip(-vel[0] * sdt, -lim, lim)
+    dy = jnp.clip(-vel[1] * sdt, -lim, lim)
+    dz = jnp.clip(-vel[2] * sdt, -lim, lim)
+    back, phib = _wide_bfecc(topo, fields, dx, dy, dz, sdt, 3, None)
+    pf, pbk = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True,
+        win=24,
+    )
+    for i in range(2):
+        assert float(jnp.max(jnp.abs(pf[i] - back[i]))) < ATOL
+        assert float(jnp.max(jnp.abs(pbk[i] - phib[i]))) < ATOL
+
+
+def test_velocity_mode_matches_wide():
+    rng = np.random.default_rng(4)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    vel = _rand_fields(rng, T, 3)
+    sdt = 0.3
+    dx = jnp.clip(-vel[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-vel[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-vel[2] * sdt, -1.8, 1.8)
+    back, phib = _wide_bfecc(topo, vel, dx, dy, dz, sdt, 0, None)
+    pf, pbk = pb.bfecc_sample_fused(
+        topo, vel, dx, dy, dz, sdt, 0, None, "strict", interpret=True
+    )
+    for i in range(3):
+        assert float(jnp.max(jnp.abs(pf[i] - back[i]))) < ATOL
+        assert float(jnp.max(jnp.abs(pbk[i] - phib[i]))) < ATOL
+
+
+def test_sdf_rejection_matches_wide():
+    rng = np.random.default_rng(5)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    vel = _rand_fields(rng, T, 3)
+    fields = vel + _rand_fields(rng, T, 1)
+    # SDF well away from 0 at trace positions so ulp-level position
+    # differences cannot flip a rejection (both paths then agree exactly)
+    sdf = jnp.asarray(
+        np.where(rng.random((T, 512)) < 0.3, -1.0, 1.0).astype(np.float32)
+    )
+    sdt = 0.4
+    dx = jnp.clip(-vel[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-vel[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-vel[2] * sdt, -1.8, 1.8)
+    back, phib = _wide_bfecc(topo, fields, dx, dy, dz, sdt, 3, sdf)
+    pf, pbk = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, sdf, "strict", interpret=True
+    )
+    assert float(jnp.max(jnp.abs(pf[0] - back[0]))) < ATOL
+    assert float(jnp.max(jnp.abs(pbk[0] - phib[0]))) < ATOL
+
+
+def test_advect_vmem_cond_dispatch():
+    """_advect_vmem: the narrow/wide lax.cond picks narrow for small CFL and
+    wide for fast flows, both returning wide-equivalent samples."""
+    rng = np.random.default_rng(6)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel_arr = jnp.stack(_rand_fields(rng, T, 3))
+    fields = _rand_fields(rng, T, 2)
+    for scale in (0.4, 9.0):  # CFL ~0.4 (narrow) and ~9 (wide fallback)
+        v = vel_arr * scale
+        pf_n, pb_n = adv._advect_vmem(topo, v, fields, 1.0, None)
+        pf_w, pb_w = adv._advect_vmem_wide(topo, v, fields, 1.0, None)
+        assert float(jnp.max(jnp.abs(pf_n - pf_w))) < ATOL
+        assert float(jnp.max(jnp.abs(pb_n - pb_w))) < ATOL

@@ -119,3 +119,62 @@ def test_turntable_and_apng(tmp_path, rng):
     i = raw.index(b"acTL")
     nf, loops = struct.unpack(">II", raw[i + 4 : i + 12])
     assert nf == 4 and loops == 0
+
+
+def test_webapp_endpoints(tmp_path):
+    """Interactive viewer server: /, /meta, /volume and /step contracts
+    (the HNanoViewer-equivalent front end, viewer/webapp.py)."""
+    import json
+    import urllib.request
+
+    from hnanosolver_tpu.viewer import webapp
+
+    d = np.zeros((16, 16, 16), np.float32)
+    d[4:12, 4:12, 4:12] = 2.0
+    calls = []
+
+    def stepper(n):
+        calls.append(n)
+        return {"density": d * (1.0 + len(calls))}
+
+    src = webapp.VolumeSource({"density": d}, stepper)
+    httpd, _ = webapp.serve(src, port=18642, block=False)
+    try:
+        base = "http://127.0.0.1:18642"
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"WebGL2" in page or b"webgl2" in page
+        meta = json.loads(urllib.request.urlopen(base + "/meta", timeout=10).read())
+        assert meta["fields"]["density"]["dims"] == [16, 16, 16]
+        assert meta["live"] is True
+        vol = urllib.request.urlopen(base + "/volume?field=density", timeout=10).read()
+        assert len(vol) == 16 * 16 * 16
+        arr = np.frombuffer(vol, np.uint8).reshape(16, 16, 16)  # (z,y,x)
+        assert arr[8, 8, 8] == 255 and arr[0, 0, 0] == 0
+        urllib.request.urlopen(base + "/step?n=3", timeout=10).read()
+        assert calls == [3]
+        meta2 = json.loads(urllib.request.urlopen(base + "/meta", timeout=10).read())
+        assert meta2["frame"] == 3
+    finally:
+        httpd.shutdown()
+
+
+def test_webapp_file_source(tmp_path):
+    """file_source loads .nvdb and .vdb volumes into dense arrays."""
+    from hnanosolver_tpu.core.topology import build_topology_dense
+    from hnanosolver_tpu.fields import zeros_state
+    from hnanosolver_tpu.io.nvdb import write_state_nvdb
+    from hnanosolver_tpu.viewer import webapp
+
+    from hnanosolver_tpu.core.layout import positions_flat
+
+    topo = build_topology_dense((16, 16, 16))
+    state = zeros_state(topo)
+    px, py, pz = positions_flat(topo)
+    blob = jnp.exp(-((px.astype(jnp.float32) - 8) ** 2) / 30)
+    state = state.with_scalar("density", blob * active_mask(topo)[:, None])
+    paths = write_state_nvdb(str(tmp_path), topo, state, fields=["density"])
+    dens = [p for p in paths if "density" in p][0]
+    src = webapp.file_source(dens)
+    (name, meta), = src.meta()["fields"].items()
+    assert meta["dims"] == [16, 16, 16]
+    assert meta["vmax"] > 0.5

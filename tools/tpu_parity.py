@@ -61,7 +61,24 @@ def run(write=print):
             topo, vel, scal, params.dt, params.inv_voxel_size, None, fast=tier
         )
         err = max(float(jnp.max(jnp.abs(got[k] - oracle[k]))) for k in oracle)
-        rows.append((f"advect_scalars vmem kernel ({tier})",
+        rows.append((f"advect_scalars fused megakernel ({tier})",
+                     err, rel(err, scale)))
+    # force each megakernel tier through the runtime cond (the developed
+    # plume at 3 steps is narrow-eligible; flip the limit to cover both)
+    from hnanosolver_tpu.ops import pallas_bfecc as pb
+
+    for lim, label in ((1e9, "16-window"), (-1.0, "24-window")):
+        old_lim = pb.CFL_LIMIT
+        pb.CFL_LIMIT = lim
+        try:
+            got = adv.advect_scalars_fused(
+                topo, vel, scal, params.dt, params.inv_voxel_size, None,
+                fast="strict",
+            )
+        finally:
+            pb.CFL_LIMIT = old_lim
+        err = max(float(jnp.max(jnp.abs(got[k] - oracle[k]))) for k in oracle)
+        rows.append((f"megakernel {label} forced (strict)",
                      err, rel(err, scale)))
 
     # --- pressure kernels vs the XLA roll+select formulation --------------
