@@ -77,11 +77,12 @@ def _save_frame(fmt: str, out_dir: str, stem: str, topo, state, params, frame):
     if fmt == "npz":
         save_npz(os.path.join(out_dir, f"{stem}_{frame:04d}.npz"),
                  topo, state, params, frame=frame)
-    elif fmt == "vdb":
+    elif fmt in ("vdb", "vdbz"):
         from hnanosolver_tpu.io.vdb import state_to_vdb
 
         state_to_vdb(os.path.join(out_dir, f"{stem}_{frame:04d}.vdb"),
-                     topo, state, voxel_size=params.voxel_size)
+                     topo, state, voxel_size=params.voxel_size,
+                     compress=fmt == "vdbz")
     elif fmt == "nvdb":
         from hnanosolver_tpu.io.nvdb import write_state_nvdb
 
@@ -260,8 +261,8 @@ def main(argv=None):
     p.add_argument("--radius", type=float, default=12.0)
     p.add_argument("--out", default="out")
     p.add_argument("--ckpt-every", type=int, default=0)
-    p.add_argument("--format", choices=["npz", "vdb", "nvdb"], default="npz",
-                   help="frame output format (vdb = Houdini-loadable OpenVDB)")
+    p.add_argument("--format", choices=["npz", "vdb", "vdbz", "nvdb"], default="npz",
+                   help="frame output format (vdb = Houdini-loadable OpenVDB; vdbz = ZIP-compressed vdb)")
     p.add_argument("--render", action="store_true")
     p.add_argument("--render-every", type=int, default=1)
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
@@ -274,8 +275,8 @@ def main(argv=None):
     p.add_argument("--radius", type=float, default=14.0)
     p.add_argument("--out", default="out")
     p.add_argument("--ckpt-every", type=int, default=0)
-    p.add_argument("--format", choices=["npz", "vdb", "nvdb"], default="npz",
-                   help="frame output format (vdb = Houdini-loadable OpenVDB)")
+    p.add_argument("--format", choices=["npz", "vdb", "vdbz", "nvdb"], default="npz",
+                   help="frame output format (vdb = Houdini-loadable OpenVDB; vdbz = ZIP-compressed vdb)")
     p.add_argument("--render", action="store_true")
     p.add_argument("--render-every", type=int, default=1)
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])

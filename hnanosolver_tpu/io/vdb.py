@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -33,10 +34,11 @@ MAGIC = 0x56444220  # int64 " BDV" (openvdb/io/Archive.cc writeHeader step 1)
 FILE_VERSION = 224  # OPENVDB_FILE_VERSION_MULTIPASS_IO
 LIB_MAJOR, LIB_MINOR = 8, 1
 
-# io/Compression.h codes (the subset the mask-compressed, unzipped path uses)
+# io/Compression.h codes (the subset the mask-compressed path uses)
 NO_MASK_AND_ALL_VALS = 6
 MASK_AND_NO_INACTIVE_VALS = 3
-COMPRESS_ACTIVE_MASK = 2  # per-grid compression flags
+COMPRESS_ZIP = 1  # per-grid compression flags (io/Compression.h)
+COMPRESS_ACTIVE_MASK = 2
 
 _LEAF_LOG2, _INT2_LOG2, _INT1_LOG2 = 3, 4, 5
 _LEAF_DIM = 8
@@ -153,10 +155,20 @@ def _build_tree(origins: np.ndarray):
     return out, leaf_order
 
 
+def _zip_stream(data: bytes) -> bytes:
+    """io::zipToStream framing: Int64 zipped-byte count + zipped data, or a
+    negative count + the raw data when zlib does not shrink it."""
+    z = zlib.compress(data)
+    if len(z) < len(data):
+        return struct.pack("<q", len(z)) + z
+    return struct.pack("<q", -len(data)) + data
+
+
 def _internal_topology(parts: List[bytes], child_offsets: List[int],
-                       log2: int, n_per_val: int, background: float):
+                       log2: int, n_per_val: int, background: float,
+                       zipped: bool = False):
     """InternalNode::writeTopology: childMask, valueMask, metadata byte +
-    raw NUM_VALUES values (compression flags 0)."""
+    the (empty) selected tile values, zip-framed when COMPRESS_ZIP is on."""
     num = 1 << (3 * log2)
     cm = np.zeros(num, bool)
     cm[np.asarray(child_offsets, np.int64)] = True
@@ -165,15 +177,21 @@ def _internal_topology(parts: List[bytes], child_offsets: List[int],
     # MASK_AND_NO_INACTIVE_VALS + empty value mask => zero values on disk;
     # the reader refills inactive slots with the background
     parts.append(struct.pack("<b", MASK_AND_NO_INACTIVE_VALS))
+    if zipped:
+        # zipToStream of 0 selected bytes: zlib can't shrink, so the frame
+        # is the Int64 count -0 == 0 and no payload
+        parts.append(struct.pack("<q", 0))
 
 
 _FULL_LEAF_MASK = b"\xff" * 64
 
 
-def _leaf_buffers_blob(values: np.ndarray, leaf_order: List[int]) -> bytes:
+def _leaf_buffers_blob(values: np.ndarray, leaf_order: List[int],
+                       zipped: bool = False) -> bytes:
     """All leaf buffer records, vectorized: per leaf (LeafNode::writeBuffers)
-    valueMask (64B all-on: dense-per-leaf layout) + metadata byte + raw
-    512 values (x3 for vec3s, interleaved)."""
+    valueMask (64B all-on: dense-per-leaf layout) + metadata byte + the 512
+    values (x3 for vec3s, interleaved) — raw, or zip-framed per leaf when
+    COMPRESS_ZIP is on."""
     order = np.asarray(leaf_order, np.int64)
     if values.ndim == 3:  # [3,N,512] -> interleave to [N,512,3]
         v = np.moveaxis(values, 0, -1)[order]  # [n,512,3]
@@ -182,6 +200,11 @@ def _leaf_buffers_blob(values: np.ndarray, leaf_order: List[int]) -> bytes:
         rec_vals = values[order]
     n = len(order)
     vb = np.ascontiguousarray(rec_vals, np.float32).view(np.uint8).reshape(n, -1)
+    if zipped:
+        head = _FULL_LEAF_MASK + struct.pack("<b", NO_MASK_AND_ALL_VALS)
+        return b"".join(
+            head + _zip_stream(vb[i].tobytes()) for i in range(n)
+        )
     rec = np.empty((n, 65 + vb.shape[1]), np.uint8)
     rec[:, :64] = np.frombuffer(_FULL_LEAF_MASK, np.uint8)
     rec[:, 64] = NO_MASK_AND_ALL_VALS
@@ -189,13 +212,14 @@ def _leaf_buffers_blob(values: np.ndarray, leaf_order: List[int]) -> bytes:
     return rec.tobytes()
 
 
-def _grid_blob(g: VdbGrid) -> Tuple[bytes, int, int]:
+def _grid_blob(g: VdbGrid, zipped: bool = False) -> Tuple[bytes, int, int]:
     """The grid's data section (everything after the descriptor offsets).
     Returns (blob, block_rel, end_rel): topology/end offsets relative to the
     blob start (== gridPos)."""
     parts: List[bytes] = []
     # Archive::setGridCompression: per-grid uint32 flags
-    parts.append(struct.pack("<I", COMPRESS_ACTIVE_MASK))
+    flags = COMPRESS_ACTIVE_MASK | (COMPRESS_ZIP if zipped else 0)
+    parts.append(struct.pack("<I", flags))
 
     # grid metadata (GridBase::writeMeta + addStatsMetadata equivalents)
     o = g.origins
@@ -232,21 +256,21 @@ def _grid_blob(g: VdbGrid) -> Tuple[bytes, int, int]:
     for k1, kids1 in root_children:
         parts.append(struct.pack("<3i", *k1))
         _internal_topology(parts, [off for off, _, _ in kids1], _INT1_LOG2,
-                           nval, g.background)
+                           nval, g.background, zipped)
         for _, _, kids2 in kids1:
             _internal_topology(parts, [off for off, _ in kids2], _INT2_LOG2,
-                               nval, g.background)
+                               nval, g.background, zipped)
             # leaf topology: just the value mask (LeafNode::writeTopology)
             parts.append(_FULL_LEAF_MASK * len(kids2))
 
     # buffers: depth-first leaf records (Root/Internal/Leaf::writeBuffers)
-    parts.append(_leaf_buffers_blob(g.values, leaf_order))
+    parts.append(_leaf_buffers_blob(g.values, leaf_order, zipped))
 
     blob = b"".join(parts)
     return blob, block_rel, len(blob)
 
 
-def write_vdb(path: str, grids: List[VdbGrid]):
+def write_vdb(path: str, grids: List[VdbGrid], compress: bool = False):
     """Write a seekable .vdb archive (io::Archive::writeHeader + File layout,
     grid descriptors carrying real byte offsets)."""
     head: List[bytes] = []
@@ -270,7 +294,7 @@ def write_vdb(path: str, grids: List[VdbGrid]):
         _ws(p, g.grid_type)
         _ws(p, "")  # instance parent (GridDescriptor::writeHeader)
         descs.append(b"".join(p))
-        blobs.append(_grid_blob(g))
+        blobs.append(_grid_blob(g, zipped=compress))
 
     pos = sum(len(p) for p in head)
     out: List[bytes] = list(head)
@@ -343,15 +367,34 @@ def _read_meta(r: _R) -> Dict[str, object]:
     return out
 
 
-def _read_internal(r: _R, log2: int, nval: int):
+def _read_zipped(r: _R) -> bytes:
+    """io::unzipFromStream framing: Int64 count (negative = stored raw)."""
+    n = r.i64()
+    if n <= 0:
+        return r.take(-n)
+    return zlib.decompress(r.take(n))
+
+
+def _read_values(r: _R, count: int, zipped: bool) -> np.ndarray:
+    if not zipped:
+        return r.f32(count)
+    raw = _read_zipped(r)
+    if len(raw) != 4 * count:
+        raise ValueError(
+            f"zipped value block: got {len(raw)} bytes, want {4 * count}"
+        )
+    return np.frombuffer(raw, np.float32)
+
+
+def _read_internal(r: _R, log2: int, nval: int, zipped: bool = False):
     num = 1 << (3 * log2)
     cm = r.mask(num)
     vm = r.mask(num)  # value mask (no active tiles written by this module)
     meta = struct.unpack("<b", r.take(1))[0]
     if meta == NO_MASK_AND_ALL_VALS:
-        r.f32(num * nval)
+        _read_values(r, num * nval, zipped)
     elif meta == MASK_AND_NO_INACTIVE_VALS:
-        r.f32(int(vm.sum()) * nval)
+        _read_values(r, int(vm.sum()) * nval, zipped)
     else:
         raise ValueError(f"unsupported internal-node value coding {meta}")
     return np.flatnonzero(cm)
@@ -380,8 +423,10 @@ def read_vdb(path: str):
         if has_offsets:
             r.i64(), r.i64(), r.i64()
         comp = r.u32()
-        if comp not in (0, COMPRESS_ACTIVE_MASK):
+        if comp not in (0, COMPRESS_ACTIVE_MASK,
+                        COMPRESS_ACTIVE_MASK | COMPRESS_ZIP):
             raise ValueError(f"unsupported compression flags {comp}")
+        zipped = bool(comp & COMPRESS_ZIP)
         meta = _read_meta(r)
         map_type = r.s()
         if map_type != "UniformScaleMap":
@@ -399,13 +444,13 @@ def read_vdb(path: str):
         counts: List[int] = []
         for _ in range(nchild):
             org1 = np.asarray(struct.unpack("<3i", r.take(12)), np.int64)
-            off1 = _read_internal(r, _INT1_LOG2, nval)
+            off1 = _read_internal(r, _INT1_LOG2, nval, zipped)
             for o1 in off1:
                 loc = np.asarray(
                     [o1 >> (2 * _INT1_LOG2), (o1 >> _INT1_LOG2) & 31, o1 & 31]
                 )
                 org2 = org1 + loc * _INT2_SPAN
-                off2 = _read_internal(r, _INT2_LOG2, nval)
+                off2 = _read_internal(r, _INT2_LOG2, nval, zipped)
                 for o2 in off2:
                     l2 = np.asarray(
                         [o2 >> (2 * _INT2_LOG2), (o2 >> _INT2_LOG2) & 15,
@@ -420,10 +465,10 @@ def read_vdb(path: str):
             m = r.mask(512)
             meta_b = struct.unpack("<b", r.take(1))[0]
             if meta_b == NO_MASK_AND_ALL_VALS:
-                vals[i] = r.f32(512 * nval)
+                vals[i] = _read_values(r, 512 * nval, zipped)
             elif meta_b == MASK_AND_NO_INACTIVE_VALS:
                 sel = np.repeat(m, nval)
-                vals[i][sel] = r.f32(int(m.sum()) * nval)
+                vals[i][sel] = _read_values(r, int(m.sum()) * nval, zipped)
             else:
                 raise ValueError(f"unsupported leaf value coding {meta_b}")
         if nval == 3:
@@ -445,7 +490,7 @@ def read_vdb(path: str):
 
 
 def state_to_vdb(path: str, topo, state, voxel_size: float = 1.0,
-                 fields: Optional[List[str]] = None):
+                 fields: Optional[List[str]] = None, compress: bool = False):
     """Write active tiles of a FieldState as one .vdb with a grid per field
     (+ velocity as Vec3S, class "staggered" — matching the reference's
     GRID_STAGGERED metadata quirk, GridBuilder.hpp:185-186)."""
@@ -462,7 +507,7 @@ def state_to_vdb(path: str, topo, state, voxel_size: float = 1.0,
             voxel_size,
             grid_class="fog volume" if name == "density" else "unknown",
         ))
-    write_vdb(path, grids)
+    write_vdb(path, grids, compress=compress)
 
 
 def vdb_to_state(path: str):

@@ -129,3 +129,41 @@ def test_matches_nvdb_path(tmp_path, rng):
     on, vn = _sorted(np.asarray(n_tiles), np.asarray(n_vals).reshape(-1, 512))
     np.testing.assert_array_equal(ov, on)
     np.testing.assert_array_equal(vv, vn)
+
+
+def test_zip_roundtrip_and_flags(tmp_path, rng):
+    """COMPRESS_ZIP|COMPRESS_ACTIVE_MASK: per-leaf zlib with the
+    io::zipToStream Int64 framing; identical decoded values, smaller file
+    for compressible fields."""
+    o, v = _scatter_grid(rng, n=12)
+    v = v * (rng.random(v.shape) < 0.2)  # sparse-ish: compressible
+    plain = str(tmp_path / "p.vdb")
+    zipped = str(tmp_path / "z.vdb")
+    write_vdb(plain, [VdbGrid("density", o, v, 0.5, "fog volume")])
+    write_vdb(zipped, [VdbGrid("density", o, v, 0.5, "fog volume")],
+              compress=True)
+    import os as _os
+
+    assert _os.path.getsize(zipped) < _os.path.getsize(plain)
+    [a] = read_vdb(plain)
+    [b] = read_vdb(zipped)
+    np.testing.assert_array_equal(*(_sorted(g["origins"], g["values"])[1]
+                                    for g in (a, b)))
+
+    # vector grids through the state path, compressed
+    topo = build_topology((o // 8).astype(np.int32))
+    state = zeros_state(topo)
+    state = state.with_scalar(
+        "density",
+        jnp.asarray(rng.standard_normal((topo.capacity, 512)).astype(np.float32))
+        * active_mask(topo)[:, None],
+    )
+    p = str(tmp_path / "s.vdb")
+    state_to_vdb(p, topo, state, voxel_size=0.5, compress=True)
+    tiles, scalars, vel, vs = vdb_to_state(p)
+    assert vel is not None and vs == 0.5
+    got = _sorted(np.asarray(tiles) * 8, scalars["density"])[1]
+    n = int(topo.n_active)
+    want = _sorted(np.asarray(topo.origins[1:n + 1]) * 8,
+                   np.asarray(state.scalars["density"][1:n + 1]))[1]
+    np.testing.assert_array_equal(got, want)
