@@ -319,15 +319,18 @@ def build_table(topo, fields: Sequence[jax.Array]) -> jax.Array:
     """Per-chunk unique neighborhood rows of ALL ``fields`` in the
     megakernel layout [nc, U*nf, 8, 64] (row u*nf+f = field f of unique
     row u). Unlike pallas_interp2.build_tables there is no MAX_NF split —
-    the fused kernel needs every field in one table."""
-    T = topo.capacity
-    uniq = topo.chunk_uniq
+    the fused kernel needs every field in one table.
+
+    Fields are packed [T, nf*512] BEFORE the gather so each unique row is
+    ONE take row (gather cost on TPU is per-row-descriptor-bound: packing
+    cuts the descriptor count nf-fold for the same bytes)."""
     nf = len(fields)
-    flat = jnp.concatenate(list(fields), axis=0)  # [nf*T, 512]
-    offs = (jnp.arange(nf, dtype=jnp.int32) * T)[None, None, :]
-    idx = (uniq[:, :, None] + offs).reshape(-1)
-    nc, U = uniq.shape
-    return jnp.take(flat, idx, axis=0).reshape(nc, U * nf, 8, 64)
+    packed = jnp.stack(list(fields), axis=1).reshape(
+        topo.capacity, nf * 512
+    )
+    nc, U = topo.chunk_uniq.shape
+    tbl = jnp.take(packed, topo.chunk_uniq.reshape(-1), axis=0)
+    return tbl.reshape(nc, U * nf, 8, 64)
 
 
 def bfecc_sample_fused(

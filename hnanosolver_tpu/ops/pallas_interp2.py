@@ -201,15 +201,18 @@ def build_tables(
     every sampling pass of an advection step."""
     T = topo.capacity
     uniq = topo.chunk_uniq  # [nc, U]
+    nc, U = uniq.shape
     out = []
     for lo in range(0, len(fields), MAX_NF):
         grp = list(fields[lo : lo + MAX_NF])
         nf = len(grp)
-        flat = jnp.concatenate(grp, axis=0)  # [nf*T, 512]
-        offs = (jnp.arange(nf, dtype=jnp.int32) * T)[None, None, :]
-        idx = (uniq[:, :, None] + offs).reshape(-1)  # [nc*U*nf]
-        nc, U = uniq.shape
-        tbl = jnp.take(flat, idx, axis=0).reshape(nc, U, nf * 8, 64)
+        # pack fields [T, nf*512] first: ONE take row per unique row (the
+        # gather is per-row-descriptor-bound; packing cuts descriptors
+        # nf-fold for the same bytes)
+        packed = jnp.stack(grp, axis=1).reshape(T, nf * 512)
+        tbl = jnp.take(packed, uniq.reshape(-1), axis=0).reshape(
+            nc, U, nf * 8, 64
+        )
         out.append((tbl, nf))
     return out
 
