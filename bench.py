@@ -31,9 +31,11 @@ import numpy as np
 ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
 RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
 CHAIN = 12  # longest timed chain (16+ tripped the worker watchdog)
-ROUNDS = 3  # independent measurement rounds; report the best (tunnel jitter
+ROUNDS = 5  # independent measurement rounds; report the best (tunnel jitter
 # is one-sided — delays only — so min-of-rounds estimates the true step;
-# observed single-round wobble is up to 3x on quiet-vs-congested windows)
+# observed single-round wobble is up to 3x on quiet-vs-congested windows,
+# and whole multi-minute windows can be congested — more rounds beat more
+# repeats per round)
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
@@ -54,7 +56,7 @@ def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=1
     return np.array(tiles, np.int32)
 
 
-def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=5):
+def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=4):
     """Slope between a 2-step and a ``chain_len``-step device program, each
     min-of-``repeats``, best of ROUNDS full rounds — the only estimator
     that survived the tunnel's +-0.5-1 s per-call jitter (single-call diffs
