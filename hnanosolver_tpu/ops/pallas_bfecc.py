@@ -134,10 +134,12 @@ def _combine_window16(nf: int, stbl, wtbl):
                 wtbl[:, W * nf : (W + 1) * nf] = win
 
 
-def _weights(G: int, win: int, dx, dy, dz):
+def _weights(G: int, win: int, dx, dy, dz, dtype=jnp.float32):
     """Hat-weight operands at window positions (window width ``win``, f-space
-    offset (win-8)/2). Returns (wxT [G,win,512], W [G,(win//8)^2*64,512])
-    with K order = (Yw,Zw) block major, (y_l*8+z_l) minor."""
+    offset (win-8)/2). Returns (wxT [G,win,512] f32, W [G,(win//8)^2*64,512]
+    in ``dtype``) with K order = (Yw,Zw) block major, (y_l*8+z_l) minor.
+    ``dtype=bfloat16`` (fast tier) casts the 1-D hats BEFORE the
+    repeat/tile expansion, halving the dominant W-construction traffic."""
     nb = win // 8
     off = float((win - 8) // 2)
     col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
@@ -149,8 +151,8 @@ def _weights(G: int, win: int, dx, dy, dz):
     lz = (cz + off + dz)[:, None, :]
     aw = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1).astype(jnp.float32)
     wxT = _hat_at(lx, aw)  # [G, win, 512]
-    hy = _hat_at(ly, aw)
-    hz = _hat_at(lz, aw)
+    hy = _hat_at(ly, aw).astype(dtype)
+    hz = _hat_at(lz, aw).astype(dtype)
     hyrep = [jnp.repeat(hy[:, 8 * d : 8 * d + 8, :], 8, axis=1) for d in range(nb)]
     hztil = [pltpu.repeat(hz[:, 8 * d : 8 * d + 8, :], 8, axis=1) for d in range(nb)]
     W = jnp.concatenate(
@@ -209,6 +211,13 @@ def _sample_span(G, nf, win, f_lo, f_hi, rows, wxT, W, prec):
 def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
     nf_out = nb - f_lo
     narrow = win == 16
+    # NOTE: a full-bf16 data path (table/scratch/weights) was tried for the
+    # fast tier and REVERTED: Mosaic's tpu.dynamic_rotate only supports
+    # 32-bit element types, so the 16-window combine's rolls reject bf16 on
+    # real hardware (interpret mode accepts it — a Mosaic-vs-interpret trap).
+    # The fast tier therefore keeps f32 data and casts the dot operands.
+    wdt = jnp.float32
+    pprec = "strict"
 
     def kernel(lnbr_ref, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref, *scratch):
         stbl = scratch[0]
@@ -240,16 +249,15 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         if has_sdf:
             # probe the SDF (last table field) at the raw back position;
-            # traces entering the solid stay home (Kernel.cu:141-155).
-            # Probes always run in strict precision, like the wide path.
-            wxT, W = _weights(G, win, dx, dy, dz)
-            d = sample(nf_all - 1, nf_all, wxT, W, "strict")[0]
+            # traces entering the solid stay home (Kernel.cu:141-155)
+            wxT, W = _weights(G, win, dx, dy, dz, wdt)
+            d = sample(nf_all - 1, nf_all, wxT, W, pprec)[0]
             hit = d < 0.0
             dx = jnp.where(hit, 0.0, dx)
             dy = jnp.where(hit, 0.0, dy)
             dz = jnp.where(hit, 0.0, dz)
 
-        wxT, W = _weights(G, win, dx, dy, dz)
+        wxT, W = _weights(G, win, dx, dy, dz, wdt)
         back = sample(0, nb, wxT, W, prec)
         # forward re-trace from the back position (BFECC error estimate);
         # the clamp matches the multi-pass path and keeps WIN=24 positions
@@ -258,13 +266,13 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
         d2y = jnp.clip(dy + back[1] * sdt, -DISP_LIMIT, DISP_LIMIT)
         d2z = jnp.clip(dz + back[2] * sdt, -DISP_LIMIT, DISP_LIMIT)
         if has_sdf:
-            wxT2, W2 = _weights(G, win, d2x, d2y, d2z)
-            d2 = sample(nf_all - 1, nf_all, wxT2, W2, "strict")[0]
+            wxT2, W2 = _weights(G, win, d2x, d2y, d2z, wdt)
+            d2 = sample(nf_all - 1, nf_all, wxT2, W2, pprec)[0]
             hit2 = d2 < 0.0
             d2x = jnp.where(hit2, dx, d2x)
             d2y = jnp.where(hit2, dy, d2y)
             d2z = jnp.where(hit2, dz, d2z)
-        wxT2, W2 = _weights(G, win, d2x, d2y, d2z)
+        wxT2, W2 = _weights(G, win, d2x, d2y, d2z, wdt)
         phib = sample(f_lo, nb, wxT2, W2, prec)
 
         for j in range(nf_out):
@@ -315,7 +323,7 @@ def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win):
     )
 
 
-def build_table(topo, fields: Sequence[jax.Array]) -> jax.Array:
+def build_table(topo, fields: Sequence[jax.Array], dtype=jnp.float32) -> jax.Array:
     """Per-chunk unique neighborhood rows of ALL ``fields`` in the
     megakernel layout [nc, U*nf, 8, 64] (row u*nf+f = field f of unique
     row u). Unlike pallas_interp2.build_tables there is no MAX_NF split —
@@ -327,7 +335,7 @@ def build_table(topo, fields: Sequence[jax.Array]) -> jax.Array:
     nf = len(fields)
     packed = jnp.stack(list(fields), axis=1).reshape(
         topo.capacity, nf * 512
-    )
+    ).astype(dtype)
     nc, U = topo.chunk_uniq.shape
     tbl = jnp.take(packed, topo.chunk_uniq.reshape(-1), axis=0)
     return tbl.reshape(nc, U * nf, 8, 64)
