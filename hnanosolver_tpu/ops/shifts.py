@@ -61,13 +61,12 @@ def shifted_views(topo: Topology, f: jax.Array, dirs=FACE_DIRS):
 
 
 def neighbor_sum(topo: Topology, f: jax.Array) -> jax.Array:
-    """Sum of the six face neighbors (7-point stencil helper)."""
-    v = shifted_views(topo, f)
-    return (
-        v[(1, 0, 0)] + v[(-1, 0, 0)]
-        + v[(0, 1, 0)] + v[(0, -1, 0)]
-        + v[(0, 0, 1)] + v[(0, 0, -1)]
-    )
+    """Sum of the six face neighbors (7-point stencil helper). One row
+    gather for all six directions; the left-associated add order matches
+    the old per-direction formulation bit-exactly (tests compare the XLA
+    and Pallas pressure paths at 0 ulp)."""
+    v = face_views_multi(topo, f[None])[:, 0]
+    return v[0] + v[1] + v[2] + v[3] + v[4] + v[5]
 
 
 def face_views_multi(topo: Topology, fields: jax.Array) -> jax.Array:
