@@ -6,6 +6,9 @@ confinement, checkpointed and rendered.
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hnanosolver_tpu.io.state import save_npz
 from hnanosolver_tpu.models.fire import FireConfig, default_params, run_fire

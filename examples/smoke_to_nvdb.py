@@ -7,6 +7,9 @@ nanovdb_convert), and render a preview PNG.
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hnanosolver_tpu.config import SolverParams
 from hnanosolver_tpu.io.nvdb import write_state_nvdb
