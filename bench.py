@@ -31,11 +31,13 @@ import numpy as np
 ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
 RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
 CHAIN = 12  # longest timed chain (16+ tripped the worker watchdog)
-ROUNDS = 5  # independent measurement rounds; report the best (tunnel jitter
+ROUNDS = 8  # independent measurement rounds; report the best (tunnel jitter
 # is one-sided — delays only — so min-of-rounds estimates the true step;
 # observed single-round wobble is up to 3x on quiet-vs-congested windows,
 # and whole multi-minute windows can be congested — more rounds beat more
 # repeats per round)
+ROUND_GAP_S = 20.0  # pause between rounds so the rounds SPAN congestion
+# windows (they change on the minutes scale) instead of sampling one window
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
@@ -87,7 +89,9 @@ def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=4):
         return b
 
     slope = float("inf")
-    for _ in range(ROUNDS):
+    for r in range(ROUNDS):
+        if r:
+            time.sleep(ROUND_GAP_S)
         t_lo = best(k_lo)
         t_hi = best(k_hi)
         slope = min(slope, max(t_hi - t_lo, 1e-9) / (chain_len - 2))
