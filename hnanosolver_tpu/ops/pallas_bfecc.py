@@ -161,13 +161,13 @@ def _weights(G: int, win: int, dx, dy, dz, dtype=jnp.float32):
     return wxT, W
 
 
-def _sample_span(G, nf, win, f_lo, f_hi, rows, wxT, W, prec):
-    """One MXU pass over fields [f_lo, f_hi): returns list of [G,512].
-    ``rows(Xw, b)`` -> [G, nfo, 8, 64] window rows for x-block Xw and
-    (y,z)-block b."""
+def _build_operand(G, win, f_lo, f_hi, rows):
+    """The dot's stationary operand for fields [f_lo, f_hi): depends only on
+    the window rows, NOT on sample positions — both BFECC passes (and both
+    SDF probes) with the same span share one build."""
     nb = win // 8
     nfo = f_hi - f_lo
-    B = jnp.concatenate(
+    return jnp.concatenate(
         [
             jnp.concatenate(
                 [rows(Xw, b).reshape(G, nfo * 8, 64) for Xw in range(nb)],
@@ -177,6 +177,13 @@ def _sample_span(G, nf, win, f_lo, f_hi, rows, wxT, W, prec):
         ],
         axis=2,
     )  # [G, nb*nfo*8, nb*nb*64]
+
+
+def _sample_span(G, nf, win, f_lo, f_hi, B, wxT, W, prec):
+    """One MXU pass over fields [f_lo, f_hi): returns list of [G,512].
+    ``B`` from _build_operand (same span)."""
+    nb = win // 8
+    nfo = f_hi - f_lo
 
     def dot(a, b, precision=None):
         return jax.lax.dot_general(
@@ -241,9 +248,15 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
 
                 return rows
 
+        bcache = {}
+
         def sample(flo, fhi, wxT, W, p):
+            if (flo, fhi) not in bcache:
+                bcache[(flo, fhi)] = _build_operand(
+                    G, win, flo, fhi, rows_of(flo, fhi)
+                )
             return _sample_span(
-                G, nf_all, win, flo, fhi, rows_of(flo, fhi), wxT, W, p
+                G, nf_all, win, flo, fhi, bcache[(flo, fhi)], wxT, W, p
             )
 
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
