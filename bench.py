@@ -88,25 +88,35 @@ def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=4):
             b = min(b, time.perf_counter() - t0)
         return b
 
-    slope = float("inf")
+    # Estimator shape matters: tunnel noise is one-sided PER MEASUREMENT.
+    # The robust anchor is the slope of the two GLOBAL mins (each min sees
+    # every round, so it converges on overhead + true compute); raw
+    # min-of-per-round-slopes instead picks whichever round's noise most
+    # deflated its difference — observed to report a 0.56 ms "step" on a
+    # 40 ms binary under heavy congestion. Per-round slopes are still
+    # allowed to IMPROVE on the anchor (the anchor overestimates when its
+    # two mins come from unequal windows), but only within a factor-2
+    # credibility band under it.
+    t_lo_min = float("inf")
     t_hi_min = float("inf")
+    round_slopes = []
     for r in range(ROUNDS):
         if r:
             time.sleep(ROUND_GAP_S)
         pull(chain(state, k_lo))  # throwaway: the first call after an idle
-        # gap pays tunnel cold-start; measuring it as t_lo made slopes go
-        # NEGATIVE in every round (observed: a fresh standalone process
-        # reported a 2e16-vox/s absurdity through the old 1e-9 floor)
+        # gap pays tunnel cold-start
         t_lo = best(k_lo)
         t_hi = best(k_hi)
+        t_lo_min = min(t_lo_min, t_lo)
         t_hi_min = min(t_hi_min, t_hi)
-        s = (t_hi - t_lo) / (chain_len - 2)
-        if s > 1e-4:  # a sub-0.1ms step through this stack is impossible:
-            # negative/zero slopes are measurement failures, not speed
-            slope = min(slope, s)
-    if slope == float("inf"):
-        # every round failed the sanity check: report the safe upper bound
-        # (whole-chain time per step, overhead included)
+        round_slopes.append((t_hi - t_lo) / (chain_len - 2))
+    anchor = (t_hi_min - t_lo_min) / (chain_len - 2)
+    cand = [s for s in round_slopes if s >= 0.5 * anchor] + [anchor]
+    slope = min(cand)
+    # Hard floor: a sub-5ms step (>4e8 vox/s, beyond the RTX-4090 HBM
+    # envelope) through this stack would be a measurement failure; report
+    # the safe upper bound (whole-chain time per step, overhead included).
+    if slope < 5e-3:
         slope = t_hi_min / chain_len
     return slope
 
