@@ -446,21 +446,11 @@ def _advect_chunked(
     return pf, pb
 
 
-def _minmax_clamp(topo, phi0, phi_f, corr):
-    """Clamp to [min, max] over voxel, 6 face neighbors, and phiF
-    (Kernel.cu:249-261); out-of-domain neighbors contribute background 0."""
-    lo = jnp.minimum(phi0, phi_f)
-    hi = jnp.maximum(phi0, phi_f)
-    for off in sh.FACE_DIRS:
-        n = sh.shifted_view(topo, phi0, off)
-        lo = jnp.minimum(lo, n)
-        hi = jnp.maximum(hi, n)
-    return jnp.clip(corr, lo, hi)
-
-
 def _minmax_clamp_multi(topo, phi0s, phi_fs, corrs):
-    """Batched _minmax_clamp over F stacked fields [F,T,512]: one row
-    gather feeds all 6F face views (vs ~6F dispatched gathers)."""
+    """BFECC min-max clamp over F stacked fields [F,T,512]: clamp each
+    corrected value to [min, max] over its voxel, 6 face neighbors, and
+    phiF (Kernel.cu:249-261); out-of-domain neighbors contribute background
+    0. One row gather feeds all 6F face views (vs ~6F dispatched gathers)."""
     lo = jnp.minimum(phi0s, phi_fs)
     hi = jnp.maximum(phi0s, phi_fs)
     views = sh.face_views_multi(topo, phi0s)  # [6,F,T,512]
