@@ -88,36 +88,39 @@ def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=4):
             b = min(b, time.perf_counter() - t0)
         return b
 
-    # Estimator shape matters: tunnel noise is one-sided PER MEASUREMENT.
-    # The robust anchor is the slope of the two GLOBAL mins (each min sees
-    # every round, so it converges on overhead + true compute); raw
-    # min-of-per-round-slopes instead picks whichever round's noise most
-    # deflated its difference — observed to report a 0.56 ms "step" on a
-    # 40 ms binary under heavy congestion. Per-round slopes are still
-    # allowed to IMPROVE on the anchor (the anchor overestimates when its
-    # two mins come from unequal windows), but only within a factor-2
-    # credibility band under it.
-    t_lo_min = float("inf")
-    t_hi_min = float("inf")
-    round_slopes = []
+    samples = []
     for r in range(ROUNDS):
         if r:
             time.sleep(ROUND_GAP_S)
         pull(chain(state, k_lo))  # throwaway: the first call after an idle
         # gap pays tunnel cold-start
-        t_lo = best(k_lo)
-        t_hi = best(k_hi)
-        t_lo_min = min(t_lo_min, t_lo)
-        t_hi_min = min(t_hi_min, t_hi)
-        round_slopes.append((t_hi - t_lo) / (chain_len - 2))
-    anchor = (t_hi_min - t_lo_min) / (chain_len - 2)
-    cand = [s for s in round_slopes if s >= 0.5 * anchor] + [anchor]
-    slope = min(cand)
-    # Hard floor: a sub-5ms step (>4e8 vox/s, beyond the RTX-4090 HBM
-    # envelope) through this stack would be a measurement failure; report
-    # the safe upper bound (whole-chain time per step, overhead included).
-    if slope < 5e-3:
-        slope = t_hi_min / chain_len
+        samples.append((best(k_lo), best(k_hi)))
+    return slope_estimate(samples, 2, chain_len)
+
+
+def slope_estimate(samples, k_lo: int, k_hi: int, floor_s: float = 5e-3):
+    """Per-step time from per-round (t_lo, t_hi) chain timings.
+
+    Estimator shape matters: tunnel noise is one-sided PER MEASUREMENT.
+    The robust anchor is the slope of the two GLOBAL mins (each min sees
+    every round, so it converges on overhead + true compute); raw
+    min-of-per-round-slopes instead picks whichever round's noise most
+    deflated its difference — observed to report a 0.56 ms "step" on a
+    40 ms binary under heavy congestion. Per-round slopes may still
+    IMPROVE on the anchor (the anchor overestimates when its two mins
+    come from unequal windows), but only within a factor-2 credibility
+    band under it. Anything under ``floor_s`` (default: a sub-5ms step
+    would beat the RTX-4090 HBM envelope through this whole stack) is a
+    measurement failure and yields the safe whole-chain upper bound."""
+    span = k_hi - k_lo
+    t_lo_min = min(t for t, _ in samples)
+    t_hi_min = min(t for _, t in samples)
+    anchor = (t_hi_min - t_lo_min) / span
+    cand = [s for s in ((th - tl) / span for tl, th in samples)
+            if s >= 0.5 * anchor]
+    slope = min(cand + [anchor])
+    if slope < floor_s:
+        slope = t_hi_min / k_hi
     return slope
 
 
