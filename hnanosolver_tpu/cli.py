@@ -213,6 +213,104 @@ def cmd_turntable(args):
     print(f"wrote {len(frames)} orbit frames + turntable.apng to {args.out}")
 
 
+def _load_vdb_fields(path):
+    """Load a .vdb into (topo over the UNION of all grids' leaf sets,
+    scalars {name: [T,512]}, velocity [3,T,512] or None, voxel_size) —
+    the standalone operator nodes' input contract (each reference node
+    unions its input topologies, e.g. SOP_VDBAdvect.cpp:105-110)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnanosolver_tpu.core.topology import build_topology, lookup_tiles
+    from hnanosolver_tpu.io.vdb import read_vdb
+
+    grids = read_vdb(path)
+    if not grids:
+        raise SystemExit(f"{path}: no grids")
+    all_tiles = np.unique(
+        np.concatenate([g["origins"] // 8 for g in grids]), axis=0
+    )
+    topo = build_topology(all_tiles)
+    scalars, vel = {}, None
+    vs = grids[0]["voxel_size"]
+    for g in grids:
+        rows = np.asarray(lookup_tiles(topo, jnp.asarray(g["origins"] // 8)))
+        if g["values"].ndim == 3:
+            out = np.zeros((3, topo.capacity, 512), np.float32)
+            out[:, rows] = g["values"]
+            out[:, 0] = 0
+            vel = jnp.asarray(out)
+        else:
+            out = np.zeros((topo.capacity, 512), np.float32)
+            out[rows] = g["values"]
+            out[0] = 0
+            scalars[g["name"]] = jnp.asarray(out)
+    return topo, scalars, vel, vs
+
+
+def _write_vdb_fields(path, topo, scalars, vel, voxel_size, compress=False):
+    import numpy as np
+
+    from hnanosolver_tpu.io.vdb import VdbGrid, write_vdb
+
+    n = int(topo.n_active)
+    origins = (np.asarray(topo.origins[1 : n + 1]) * 8).astype(np.int32)
+    grids = []
+    if vel is not None:
+        grids.append(VdbGrid("velocity", origins, np.asarray(vel[:, 1 : n + 1]),
+                             voxel_size, grid_class="staggered"))
+    for name in sorted(scalars):
+        grids.append(VdbGrid(
+            name, origins, np.asarray(scalars[name][1 : n + 1]), voxel_size,
+            grid_class="fog volume" if name == "density" else "unknown",
+        ))
+    write_vdb(path, grids, compress=compress)
+    print(f"wrote {path} ({len(grids)} grids, {n} leaves)")
+
+
+def cmd_advect(args):
+    """HNanoAdvect: BFECC-advect every float grid in the input by its
+    velocity grid (`/root/reference/src/SOP/Advection/SOP_VDBAdvect.cpp`)."""
+    from hnanosolver_tpu import advect_scalars
+
+    topo, scalars, vel, vs = _load_vdb_fields(args.file)
+    if vel is None:
+        raise SystemExit("advect: input has no velocity (Vec3) grid")
+    if not scalars:
+        raise SystemExit("advect: input has no float grids to advect")
+    out = advect_scalars(topo, vel, scalars, args.timestep, vs)
+    _write_vdb_fields(args.out, topo, dict(out), vel, vs)
+
+
+def cmd_advect_velocity(args):
+    """HNanoAdvectVelocity: BFECC self-advection of the velocity grid
+    (`/root/reference/src/SOP/VelocityAdvection/SOP_VDBAdvectVelocity.cpp`)."""
+    from hnanosolver_tpu import advect_velocity
+
+    topo, _scalars, vel, vs = _load_vdb_fields(args.file)
+    if vel is None:
+        raise SystemExit("advect-velocity: input has no velocity (Vec3) grid")
+    out = advect_velocity(topo, vel, args.timestep, vs)
+    _write_vdb_fields(args.out, topo, {}, out, vs)
+
+
+def cmd_project(args):
+    """HNanoProjectNonDivergent: pressure-project the velocity grid, or
+    output its raw divergence with --outdiv
+    (`/root/reference/src/SOP/ProjectNonDivergent/SOP_VDBProjectNonDivergent.cpp`)."""
+    from hnanosolver_tpu import divergence_only, project
+
+    topo, _scalars, vel, vs = _load_vdb_fields(args.file)
+    if vel is None:
+        raise SystemExit("project: input has no velocity (Vec3) grid")
+    if args.outdiv:
+        div = divergence_only(topo, vel, vs)
+        _write_vdb_fields(args.out, topo, {"divergence": div}, None, vs)
+    else:
+        out = project(topo, vel, args.iterations, vs)
+        _write_vdb_fields(args.out, topo, {}, out, vs)
+
+
 def cmd_view(args):
     """Interactive WebGL raymarch viewer (the HNanoViewer equivalent,
     `/root/reference/HNanoViewer/src/HNanoViewer.cpp:106-362`): serves an
@@ -301,6 +399,34 @@ def main(argv=None):
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
     p.add_argument("--out", default="out/turntable")
     p.set_defaults(fn=cmd_turntable)
+
+    p = sub.add_parser(
+        "advect", help="standalone scalar advection on a .vdb (HNanoAdvect)"
+    )
+    p.add_argument("file", help=".vdb with float grids + a velocity grid")
+    p.add_argument("--timestep", type=float, default=1.0 / 24.0)
+    p.add_argument("--out", default="advected.vdb")
+    p.set_defaults(fn=cmd_advect)
+
+    p = sub.add_parser(
+        "advect-velocity",
+        help="standalone velocity self-advection on a .vdb (HNanoAdvectVelocity)",
+    )
+    p.add_argument("file", help=".vdb with a velocity grid")
+    p.add_argument("--timestep", type=float, default=1.0 / 24.0)
+    p.add_argument("--out", default="advected_velocity.vdb")
+    p.set_defaults(fn=cmd_advect_velocity)
+
+    p = sub.add_parser(
+        "project",
+        help="pressure-project a .vdb velocity grid (HNanoProjectNonDivergent)",
+    )
+    p.add_argument("file", help=".vdb with a velocity grid")
+    p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--outdiv", action="store_true",
+                   help="output the raw divergence instead of projecting")
+    p.add_argument("--out", default="projected.vdb")
+    p.set_defaults(fn=cmd_project)
 
     p = sub.add_parser(
         "view", help="interactive WebGL volume viewer (file or live sim)"
