@@ -34,7 +34,7 @@ MAGIC = 0x56444220  # int64 " BDV" (openvdb/io/Archive.cc writeHeader step 1)
 FILE_VERSION = 224  # OPENVDB_FILE_VERSION_MULTIPASS_IO
 LIB_MAJOR, LIB_MINOR = 8, 1
 
-# io/Compression.h codes (the subset the mask-compressed path uses)
+# io/Compression.h codes (the full set; the writer uses 0 and 6)
 NO_MASK_AND_ALL_VALS = 6
 MASK_AND_NO_INACTIVE_VALS = 3
 COMPRESS_ZIP = 1  # per-grid compression flags (io/Compression.h)
@@ -174,9 +174,12 @@ def _internal_topology(parts: List[bytes], child_offsets: List[int],
     cm[np.asarray(child_offsets, np.int64)] = True
     parts.append(_mask_words(cm))
     parts.append(_mask_words(np.zeros(num, bool)))  # valueMask: no active tiles
-    # MASK_AND_NO_INACTIVE_VALS + empty value mask => zero values on disk;
-    # the reader refills inactive slots with the background
-    parts.append(struct.pack("<b", MASK_AND_NO_INACTIVE_VALS))
+    # NO_MASK_OR_INACTIVE_VALS + empty value mask => zero values on disk; the
+    # reader refills inactive slots with +background. (Round 2 wrote
+    # MASK_AND_NO_INACTIVE_VALS here WITHOUT the selection mask that real
+    # OpenVDB readers expect after codes 3/4/5 — a bug only our own strict
+    # reader tolerated; code 0 is what OpenVDB emits for this case.)
+    parts.append(struct.pack("<b", NO_MASK_OR_INACTIVE_VALS))
     if zipped:
         # zipToStream of 0 selected bytes: zlib can't shrink, so the frame
         # is the Int64 count -0 == 0 and no payload
@@ -312,8 +315,28 @@ def write_vdb(path: str, grids: List[VdbGrid], compress: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# Strict reader (round-trip validator + loader)
+# Reader: foreign-capable OpenVDB parser (also the round-trip validator)
 # ---------------------------------------------------------------------------
+#
+# Round 2's reader was strict (only this module's own output); this round it
+# covers the layouts real OpenVDB writers produce, per the reference's
+# ingestion contract (`/root/reference/src/Utils/Utils.hpp:366-410` loads
+# arbitrary Houdini grids; its builder consumes any topology via
+# voxelizeActiveTiles, SOP_VDBAdvect.cpp:105-110):
+#   - file versions 220-224 (per-grid compression from 222, the legacy
+#     file-level isCompressed byte for [220, 222))
+#   - compression: none / ZIP / BLOSC (pure-python LZ4 codec, io/bloscz.py),
+#     each optionally with ACTIVE_MASK
+#   - all seven leaf/internal value-compression metadata codes
+#     (io/Compression.h), partial leaf masks, selection masks
+#   - root-level tiles and internal-node active tiles (voxelized to leaves,
+#     like the reference's voxelizeActiveTiles; bounded by _TILE_LEAF_CAP)
+#   - transforms: UniformScale(Translate)Map, Scale(Translate)Map,
+#     TranslationMap, UnitaryMap-free AffineMap with uniform scale
+#   - Tree_float_5_4_3 / Tree_vec3s_5_4_3 (+ double / vec3d, cast to f32),
+#     half-float storage ("is_saved_as_half_float")
+#   - grid instancing (instance parent shares the parent's tree)
+#   - unsupported grid types are skipped via descriptor offsets
 
 
 class _R:
@@ -337,11 +360,17 @@ class _R:
     def i64(self):
         return struct.unpack("<q", self.take(8))[0]
 
+    def i8(self):
+        return struct.unpack("<b", self.take(1))[0]
+
     def s(self):
         return self.take(self.u32()).decode()
 
     def f32(self, n=1):
         return np.frombuffer(self.take(4 * n), np.float32)
+
+    def f64(self, n=1):
+        return np.frombuffer(self.take(8 * n), np.float64)
 
     def mask(self, num_bits: int) -> np.ndarray:
         by = np.frombuffer(self.take(num_bits // 8), np.uint8)
@@ -354,133 +383,378 @@ def _read_meta(r: _R) -> Dict[str, object]:
         name = r.s()
         typ = r.s()
         raw = r.take(r.u32())
-        if typ == "string":
-            out[name] = raw.decode()
-        elif typ == "int64":
-            out[name] = struct.unpack("<q", raw)[0]
-        elif typ == "bool":
-            out[name] = bool(raw[0])
-        elif typ == "vec3i":
-            out[name] = struct.unpack("<3i", raw)
-        else:
+        try:
+            if typ == "string":
+                out[name] = raw.decode()
+            elif typ == "int64":
+                out[name] = struct.unpack("<q", raw)[0]
+            elif typ == "int32":
+                out[name] = struct.unpack("<i", raw)[0]
+            elif typ == "bool":
+                out[name] = bool(raw[0])
+            elif typ == "float":
+                out[name] = struct.unpack("<f", raw)[0]
+            elif typ == "double":
+                out[name] = struct.unpack("<d", raw)[0]
+            elif typ == "vec3i":
+                out[name] = struct.unpack("<3i", raw)
+            elif typ == "vec3d":
+                out[name] = struct.unpack("<3d", raw)
+            elif typ == "vec3s":
+                out[name] = struct.unpack("<3f", raw)
+            else:  # unknown metadata types ride along as raw bytes
+                out[name] = raw
+        except struct.error:  # malformed payload: keep raw, don't fail
             out[name] = raw
     return out
 
 
-def _read_zipped(r: _R) -> bytes:
-    """io::unzipFromStream framing: Int64 count (negative = stored raw)."""
-    n = r.i64()
-    if n <= 0:
-        return r.take(-n)
-    return zlib.decompress(r.take(n))
+# Tree value types this parser understands (OpenVDB mangled names).
+_VALUE_TYPES = {
+    "float": (np.float32, 1),
+    "double": (np.float64, 1),
+    "vec3s": (np.float32, 3),
+    "vec3d": (np.float64, 3),
+}
 
 
-def _read_values(r: _R, count: int, zipped: bool) -> np.ndarray:
-    if not zipped:
-        return r.f32(count)
-    raw = _read_zipped(r)
-    if len(raw) != 4 * count:
-        raise ValueError(
-            f"zipped value block: got {len(raw)} bytes, want {4 * count}"
+def _parse_tree_type(gtype: str):
+    """'Tree_float_5_4_3' -> (np dtype, components) or None if unsupported."""
+    parts = gtype.split("_")
+    if len(parts) != 5 or parts[0] != "Tree" or parts[2:] != ["5", "4", "3"]:
+        return None
+    return _VALUE_TYPES.get(parts[1])
+
+
+class _GridData:
+    """Accumulates leaves while walking one grid's tree."""
+
+    def __init__(self, nval: int):
+        self.nval = nval
+        self.origins: List[np.ndarray] = []
+        self.leaf_masks: List[np.ndarray] = []
+        self.values: List[np.ndarray] = []  # filled in the buffers pass
+        self.const_leaves: List[Tuple[np.ndarray, np.ndarray]] = []
+
+
+# Voxelizing active internal-node tiles (the reference runs
+# voxelizeActiveTiles before building, SOP_VDBAdvect.cpp:105-110) is capped
+# so a malformed file can't demand terabytes of leaves.
+_TILE_LEAF_CAP = 200_000
+
+
+class _TreeReader:
+    """One grid's tree parser; carries file version + compression context."""
+
+    def __init__(self, r: _R, version: int, comp: int, nval: int,
+                 dtype, half: bool):
+        self.r = r
+        self.version = version
+        self.comp = comp
+        self.nval = nval
+        self.dtype = dtype
+        self.half = half
+        self.background = np.zeros(nval, np.float64)
+
+    # -- low-level value plumbing ------------------------------------------
+
+    def _item_bytes(self) -> int:
+        return 2 if self.half else np.dtype(self.dtype).itemsize
+
+    def _decode(self, raw: bytes, count: int) -> np.ndarray:
+        want = count * self.nval * self._item_bytes()
+        if len(raw) != want:
+            raise ValueError(f"value block: got {len(raw)} bytes, want {want}")
+        dt = np.float16 if self.half else self.dtype
+        return np.frombuffer(raw, dt).astype(np.float64).reshape(-1, self.nval)
+
+    def _read_data(self, count: int) -> np.ndarray:
+        """io::readData: raw, zip-framed, or blosc-framed values."""
+        nb = count * self.nval * self._item_bytes()
+        if self.comp & COMPRESS_BLOSC:
+            n = self.r.i64()
+            if n <= 0:
+                raw = self.r.take(-n)
+            else:
+                from hnanosolver_tpu.io.bloscz import blosc_decompress
+                raw = blosc_decompress(self.r.take(n))
+        elif self.comp & COMPRESS_ZIP:
+            n = self.r.i64()
+            raw = self.r.take(-n) if n <= 0 else zlib.decompress(self.r.take(n))
+        else:
+            raw = self.r.take(nb)
+        return self._decode(raw, count)
+
+    def read_values(self, count: int, value_mask: np.ndarray) -> np.ndarray:
+        """io::readCompressedValues: returns a dense [count, nval] float64
+        array with inactive entries reconstructed per the metadata code."""
+        r = self.r
+        metadata = NO_MASK_AND_ALL_VALS
+        if self.version >= FILE_VERSION_NODE_MASK_COMPRESSION:
+            metadata = r.i8()
+        bg = self.background
+        inactive0 = bg if metadata == NO_MASK_OR_INACTIVE_VALS else -bg
+        inactive1 = bg
+        if metadata in (NO_MASK_AND_ONE_INACTIVE_VAL,
+                        MASK_AND_ONE_INACTIVE_VAL,
+                        MASK_AND_TWO_INACTIVE_VALS):
+            inactive0 = self._decode(
+                r.take(self.nval * self._item_bytes()), 1)[0]
+            if metadata == MASK_AND_TWO_INACTIVE_VALS:
+                inactive1 = self._decode(
+                    r.take(self.nval * self._item_bytes()), 1)[0]
+        sel = None
+        if metadata in (MASK_AND_NO_INACTIVE_VALS, MASK_AND_ONE_INACTIVE_VAL,
+                        MASK_AND_TWO_INACTIVE_VALS):
+            sel = r.mask(count)
+        mask_compressed = (
+            (self.comp & COMPRESS_ACTIVE_MASK)
+            and metadata != NO_MASK_AND_ALL_VALS
+            and self.version >= FILE_VERSION_NODE_MASK_COMPRESSION
         )
-    return np.frombuffer(raw, np.float32)
+        stored = int(value_mask.sum()) if mask_compressed else count
+        vals = self._read_data(stored)
+        if stored == count:
+            return vals
+        out = np.empty((count, self.nval), np.float64)
+        out[value_mask] = vals
+        inactive = ~value_mask
+        if sel is None:
+            out[inactive] = inactive0
+        else:
+            out[inactive & sel] = inactive1
+            out[inactive & ~sel] = inactive0
+        return out
+
+    # -- tree walking -------------------------------------------------------
+
+    def _voxelize_tile(self, gd: _GridData, origin: np.ndarray, span: int,
+                       value: np.ndarray):
+        """Emit constant leaves for an active internal tile (span in voxels,
+        a multiple of 8)."""
+        per_axis = span // _LEAF_DIM
+        n_new = per_axis ** 3
+        if len(gd.const_leaves) + len(gd.origins) + n_new > _TILE_LEAF_CAP:
+            raise ValueError(
+                f"active tile voxelization exceeds {_TILE_LEAF_CAP} leaves"
+            )
+        ax = np.arange(per_axis) * _LEAF_DIM
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        offs = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        for o in offs:
+            gd.const_leaves.append((origin + o, value))
+
+    def read_internal(self, gd: _GridData, origin: np.ndarray, log2: int):
+        """InternalNode::readTopology: masks, tile values, recursion."""
+        r = self.r
+        num = 1 << (3 * log2)
+        child_span = _INT2_SPAN if log2 == _INT1_LOG2 else _LEAF_DIM
+        cm = r.mask(num)
+        vm = r.mask(num)
+        tile_vals = self.read_values(num, vm)
+        # active tiles -> constant leaves (inactive tiles read as background
+        # through the solver's null-tile convention and are dropped)
+        side = 1 << log2
+        for o in np.flatnonzero(vm & ~cm):
+            loc = np.asarray([o >> (2 * log2), (o >> log2) & (side - 1),
+                              o & (side - 1)], np.int64)
+            self._voxelize_tile(gd, origin + loc * child_span, child_span,
+                                tile_vals[o])
+        for o in np.flatnonzero(cm):
+            loc = np.asarray([o >> (2 * log2), (o >> log2) & (side - 1),
+                              o & (side - 1)], np.int64)
+            corg = origin + loc * child_span
+            if log2 == _INT1_LOG2:
+                self.read_internal(gd, corg, _INT2_LOG2)
+            else:
+                gd.origins.append(corg)
+                gd.leaf_masks.append(self.r.mask(512))  # LeafNode::readTopology
+
+    def read_tree(self) -> _GridData:
+        """TreeBase::readTopology + root + buffers."""
+        r = self.r
+        if r.i32() != 1:
+            raise ValueError("expected 1 tree buffer")
+        gd = _GridData(self.nval)
+        self.background = self._decode(
+            r.take(self.nval * self._item_bytes()), 1)[0]
+        ntiles, nchild = r.u32(), r.u32()
+        for _ in range(ntiles):  # RootNode tiles: Coord + value + active
+            r.take(12)
+            val = self._decode(r.take(self.nval * self._item_bytes()), 1)[0]
+            active = bool(r.take(1)[0])
+            if active and np.any(val != 0):
+                raise ValueError(
+                    "active root-level tile (4096^3 constant region) "
+                    "cannot be voxelized"
+                )
+        for _ in range(nchild):
+            org1 = np.asarray(struct.unpack("<3i", r.take(12)), np.int64)
+            self.read_internal(gd, org1, _INT1_LOG2)
+
+        # buffers pass: depth-first leaf records
+        n = len(gd.origins)
+        for i in range(n):
+            m = r.mask(512)
+            vals = self.read_values(512, m)
+            gd.values.append(vals)
+        return gd
 
 
-def _read_internal(r: _R, log2: int, nval: int, zipped: bool = False):
-    num = 1 << (3 * log2)
-    cm = r.mask(num)
-    vm = r.mask(num)  # value mask (no active tiles written by this module)
-    meta = struct.unpack("<b", r.take(1))[0]
-    if meta == NO_MASK_AND_ALL_VALS:
-        _read_values(r, num * nval, zipped)
-    elif meta == MASK_AND_NO_INACTIVE_VALS:
-        _read_values(r, int(vm.sum()) * nval, zipped)
+# io/Compression.h codes
+COMPRESS_BLOSC = 4
+NO_MASK_OR_INACTIVE_VALS = 0
+NO_MASK_AND_MINUS_BG = 1
+NO_MASK_AND_ONE_INACTIVE_VAL = 2
+MASK_AND_ONE_INACTIVE_VAL = 4
+MASK_AND_TWO_INACTIVE_VALS = 5
+
+# file-format version milestones (openvdb/version.h.in)
+FILE_VERSION_NEW_TRANSFORM = 219
+FILE_VERSION_SELECTIVE_COMPRESSION = 220
+FILE_VERSION_NODE_MASK_COMPRESSION = 222
+FILE_VERSION_BLOSC_COMPRESSION = 223
+
+# transform maps: name -> (number of Vec3d in payload, scale index,
+# translation index or None); AffineMap handled separately
+_MAP_PAYLOADS = {
+    "UniformScaleMap": (5, 0, None),
+    "ScaleMap": (5, 0, None),
+    "UniformScaleTranslateMap": (6, 1, 0),
+    "ScaleTranslateMap": (6, 1, 0),
+    "TranslationMap": (1, None, 0),
+}
+
+
+def _read_transform(r: _R) -> Tuple[float, Tuple[float, float, float]]:
+    """math::Transform::read -> (uniform voxel size, world translation).
+    Raises on non-uniform scales and non-axis-aligned affines — the solver
+    (like the reference's NanoVDB build) assumes a uniform voxel size."""
+    map_type = r.s()
+    if map_type in _MAP_PAYLOADS:
+        nvec, si, ti = _MAP_PAYLOADS[map_type]
+        vecs = [struct.unpack("<3d", r.take(24)) for _ in range(nvec)]
+        scale = vecs[si] if si is not None else (1.0, 1.0, 1.0)
+        trans = vecs[ti] if ti is not None else (0.0, 0.0, 0.0)
+    elif map_type == "AffineMap":
+        m = np.asarray(r.f64(16)).reshape(4, 4)
+        off_diag = m[:3, :3] - np.diag(np.diag(m[:3, :3]))
+        if np.abs(off_diag).max() > 1e-12 * max(1.0, np.abs(m).max()):
+            raise ValueError("non-axis-aligned AffineMap unsupported")
+        scale = tuple(np.diag(m[:3, :3]))
+        trans = tuple(m[3, :3])
     else:
-        raise ValueError(f"unsupported internal-node value coding {meta}")
-    return np.flatnonzero(cm)
+        raise ValueError(f"unsupported map {map_type}")
+    if abs(scale[0] - scale[1]) > 1e-12 or abs(scale[0] - scale[2]) > 1e-12:
+        raise ValueError(f"non-uniform voxel size {scale} unsupported")
+    return float(scale[0]), tuple(float(t) for t in trans)
 
 
-def read_vdb(path: str):
-    """Parse a .vdb written by this module (strict; raises on any layout it
-    doesn't recognize). Returns a list of dicts with name/type/class/
-    voxel_size/origins [N,3]/values ([N,512] or [3,N,512])."""
+def _finalize_grid(gd: _GridData, name, gtype, meta, voxel_size, translation):
+    origins = list(gd.origins)
+    vals = list(gd.values)
+    for org, v in gd.const_leaves:
+        origins.append(org)
+        vals.append(np.broadcast_to(v, (512, gd.nval)))
+    n = len(origins)
+    nval = gd.nval
+    flat = (np.stack(vals).astype(np.float32) if n
+            else np.zeros((0, 512, nval), np.float32))
+    if nval == 3:
+        values = np.moveaxis(flat, -1, 0)  # [3, N, 512]
+    else:
+        values = flat[..., 0]  # [N, 512]
+    return dict(
+        name=name, type=gtype, grid_class=meta.get("class", "unknown"),
+        voxel_size=voxel_size, translation=translation,
+        origins=(np.asarray(origins, np.int32).reshape(-1, 3) if n
+                 else np.zeros((0, 3), np.int32)),
+        values=values,
+        leaf_masks=(np.stack(gd.leaf_masks)
+                    if gd.leaf_masks else np.zeros((0, 512), bool)),
+        metadata=meta,
+    )
+
+
+def read_vdb(path: str, skipped: Optional[List[Tuple[str, str]]] = None):
+    """Parse a ``.vdb`` archive — this module's own output or a foreign
+    OpenVDB/Houdini file (see the reader capabilities note above).
+
+    Returns a list of dicts with name/type/class/voxel_size/translation/
+    origins [N,3]/values ([N,512] or [3,N,512])/leaf_masks/metadata.
+    Grids with unsupported tree types (or, when descriptor offsets allow
+    skipping, unsupported layouts) are appended to ``skipped`` as
+    (name, reason) instead of raising."""
     r = _R(open(path, "rb").read())
+    if skipped is None:
+        skipped = []
     if r.i64() != MAGIC:
         raise ValueError("not a VDB file")
     version = r.u32()
+    # Pre-NODE_MASK_COMPRESSION archives (OpenVDB < 2.1, 2013) use archive-
+    # wide compression flags and a different leaf-buffer record that cannot
+    # be validated offline; every Houdini-era writer emits >= 222.
+    if version < FILE_VERSION_NODE_MASK_COMPRESSION:
+        raise ValueError(f"file version {version} (< 222) unsupported")
     r.u32(), r.u32()  # library version
     has_offsets = r.take(1)[0]
-    if version >= 218:
-        r.take(36)  # uuid
-    if 220 <= version < 222:
-        r.take(1)  # legacy isCompressed flag
+    r.take(36)  # uuid (36 ASCII chars from version 218 on)
     _read_meta(r)
-    grids = []
+    grids: List[dict] = []
+    by_name: Dict[str, dict] = {}
     for _ in range(r.u32()):
-        name = r.s()
+        unique_name = r.s()
+        # GridDescriptor::stringAsUniqueName: "name\x1e<suffix>"
+        name = unique_name.split("\x1e")[0]
         gtype = r.s()
-        r.s()  # instance parent
+        half = gtype.endswith("_HalfFloat")
+        if half:
+            gtype = gtype[: -len("_HalfFloat")]
+        parent = r.s()
+        grid_end = None
         if has_offsets:
-            r.i64(), r.i64(), r.i64()
-        comp = r.u32()
-        if comp not in (0, COMPRESS_ACTIVE_MASK,
-                        COMPRESS_ACTIVE_MASK | COMPRESS_ZIP):
-            raise ValueError(f"unsupported compression flags {comp}")
-        zipped = bool(comp & COMPRESS_ZIP)
-        meta = _read_meta(r)
-        map_type = r.s()
-        if map_type != "UniformScaleMap":
-            raise ValueError(f"unsupported map {map_type}")
-        scale = struct.unpack("<3d", r.take(24))[0]
-        r.take(24 * 4)  # the other four precomputed Vec3d
-        if r.i32() != 1:
-            raise ValueError("expected 1 tree buffer")
-        nval = 3 if "vec3s" in gtype else 1
-        r.f32(nval)  # root background
-        ntiles, nchild = r.u32(), r.u32()
-        if ntiles:
-            raise ValueError("root tiles unsupported")
-        origins: List[np.ndarray] = []
-        counts: List[int] = []
-        for _ in range(nchild):
-            org1 = np.asarray(struct.unpack("<3i", r.take(12)), np.int64)
-            off1 = _read_internal(r, _INT1_LOG2, nval, zipped)
-            for o1 in off1:
-                loc = np.asarray(
-                    [o1 >> (2 * _INT1_LOG2), (o1 >> _INT1_LOG2) & 31, o1 & 31]
-                )
-                org2 = org1 + loc * _INT2_SPAN
-                off2 = _read_internal(r, _INT2_LOG2, nval, zipped)
-                for o2 in off2:
-                    l2 = np.asarray(
-                        [o2 >> (2 * _INT2_LOG2), (o2 >> _INT2_LOG2) & 15,
-                         o2 & 15]
-                    )
-                    origins.append(org2 + l2 * _LEAF_DIM)
-                    r.mask(512)  # leaf topology value mask
-                counts.append(len(off2))
-        n = len(origins)
-        vals = np.zeros((n, 512 * nval), np.float32)
-        for i in range(n):
-            m = r.mask(512)
-            meta_b = struct.unpack("<b", r.take(1))[0]
-            if meta_b == NO_MASK_AND_ALL_VALS:
-                vals[i] = _read_values(r, 512 * nval, zipped)
-            elif meta_b == MASK_AND_NO_INACTIVE_VALS:
-                sel = np.repeat(m, nval)
-                vals[i][sel] = _read_values(r, int(m.sum()) * nval, zipped)
-            else:
-                raise ValueError(f"unsupported leaf value coding {meta_b}")
-        if nval == 3:
-            values = np.moveaxis(vals.reshape(n, 512, 3), -1, 0)
-        else:
-            values = vals
-        grids.append(dict(
-            name=name, type=gtype, grid_class=meta.get("class", "unknown"),
-            voxel_size=scale,
-            origins=np.asarray(origins, np.int32).reshape(-1, 3),
-            values=values,
-        ))
+            r.i64()  # grid byte offset (== current position)
+            r.i64()  # block (topology) offset
+            grid_end = r.i64()
+
+        def _skip(reason: str):
+            if grid_end is None:
+                raise ValueError(f"grid '{name}': {reason}")
+            skipped.append((name, reason))
+            r.p = grid_end
+
+        vt = _parse_tree_type(gtype)
+        try:
+            comp = r.u32()
+            meta = _read_meta(r)
+            voxel_size, translation = _read_transform(r)
+            if parent:
+                src = by_name.get(parent) or by_name.get(
+                    parent.split("\x1e")[0])
+                if src is None:
+                    raise ValueError(f"instance parent '{parent}' not found")
+                g = dict(src)
+                g.update(name=name, voxel_size=voxel_size,
+                         translation=translation, metadata=meta)
+                grids.append(g)
+                by_name[unique_name] = g
+                if grid_end is not None:
+                    r.p = grid_end
+                continue
+            if vt is None:
+                _skip(f"unsupported grid type {gtype}")
+                continue
+            dtype, nval = vt
+            if meta.get("is_saved_as_half_float"):
+                half = True
+            tr = _TreeReader(r, version, comp, nval, dtype, half)
+            gd = tr.read_tree()
+            g = _finalize_grid(gd, name, gtype, meta, voxel_size, translation)
+            g["background"] = tr.background.astype(np.float32)
+            grids.append(g)
+            by_name[unique_name] = g
+        except ValueError as e:
+            _skip(str(e))
     return grids
 
 
@@ -510,20 +784,41 @@ def state_to_vdb(path: str, topo, state, voxel_size: float = 1.0,
     write_vdb(path, grids, compress=compress)
 
 
-def vdb_to_state(path: str):
-    """Load a .vdb (written by this module) back into (tile_coords,
-    {name: [N,512]}, velocity [3,N,512] or None, voxel_size)."""
-    grids = read_vdb(path)
+def vdb_to_state(path: str, skipped: Optional[List[Tuple[str, str]]] = None):
+    """Load a .vdb (ours or foreign) into (tile_coords, {name: [M,512]},
+    velocity [3,M,512] or None, voxel_size).
+
+    Foreign grids routinely disagree on topology per grid, so tile coords
+    are the UNION over all grids (the reference's domain-union step,
+    `/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:188-199`);
+    each grid's leaves scatter into the union, absent leaves read 0."""
+    grids = read_vdb(path, skipped=skipped)
+    vs = grids[0]["voxel_size"] if grids else 1.0
+    all_coords = [g["origins"] // _LEAF_DIM for g in grids if len(g["origins"])]
+    if not all_coords:
+        return np.zeros((0, 3), np.int32), {}, None, vs
+    coords = np.unique(np.concatenate(all_coords), axis=0)
+    # map each grid's leaves to union rows via a packed-key sort
+    def key(c):
+        c = c.astype(np.int64)
+        return (c[:, 0] << 42) + (c[:, 1] << 21) + c[:, 2] + (1 << 62)
+    ukeys = key(coords)
+    order = np.argsort(ukeys)
+    ukeys = ukeys[order]
+    coords = coords[order]
+    M = len(coords)
     vel = None
-    scalars = {}
-    coords = None
-    vs = 1.0
+    scalars: Dict[str, np.ndarray] = {}
     for g in grids:
-        if coords is None:
-            coords = g["origins"] // _LEAF_DIM
-            vs = g["voxel_size"]
+        if not len(g["origins"]):
+            continue
+        rows = np.searchsorted(ukeys, key(g["origins"] // _LEAF_DIM))
         if g["values"].ndim == 3:
-            vel = g["values"]
+            full = np.zeros((3, M, 512), np.float32)
+            full[:, rows] = g["values"]
+            vel = full
         else:
-            scalars[g["name"]] = g["values"]
+            full = np.zeros((M, 512), np.float32)
+            full[rows] = g["values"]
+            scalars[g["name"]] = full
     return coords, scalars, vel, vs
