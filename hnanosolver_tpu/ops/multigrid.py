@@ -64,10 +64,28 @@ class MGLevel:
         return cls(*ch)
 
 
+def _restrict_mask_np(children: np.ndarray, fine_mask: np.ndarray) -> np.ndarray:
+    """Coarse in-domain mask = ANY-of-2^3-children of the fine level's mask
+    (numpy mirror of :func:`restrict` with max instead of mean). Carrying
+    the mask as restricted DATA keeps it voxel-exact at every depth; the
+    round-2 tile-existence derivation was exact only for level 1 (below
+    that, level-k tiles are themselves partially in-domain, so existence
+    over-covers — measured to diverge at depth >= 3)."""
+    Tf = fine_mask.shape[0]
+    m = fine_mask.reshape(Tf, 4, 2, 4, 2, 4, 2).max(axis=(2, 4, 6))
+    Tc = children.shape[0]
+    ch = m[children.reshape(-1)].reshape(Tc, 2, 2, 2, 4, 4, 4)
+    out = np.moveaxis(ch, (1, 2, 3), (1, 3, 5))  # [Tc, 2,4, 2,4, 2,4]
+    return out.reshape(Tc, 512)
+
+
 def build_hierarchy(topo: Topology, levels: int) -> List[MGLevel]:
     """Host-side construction of ``levels`` coarse levels below ``topo``."""
     out: List[MGLevel] = []
     fine = topo
+    nf0 = int(topo.n_active)
+    fine_mask = np.zeros((topo.capacity, 512), np.float32)
+    fine_mask[1 : nf0 + 1] = 1.0  # fine active tiles are fully in-domain
     for _ in range(levels):
         nf = int(fine.n_active)
         fo = np.asarray(fine.origins[1 : nf + 1])  # fine tile coords
@@ -88,12 +106,7 @@ def build_hierarchy(topo: Topology, levels: int) -> List[MGLevel]:
         children = np.zeros((coarse.capacity, 8), np.int32)
         children[prow, oct_[1 : nf + 1]] = np.arange(1, nf + 1, dtype=np.int32)
 
-        # coarse voxel mask: octant (cx,cy,cz) of the 8^3 tile covers local
-        # block [cx*4:(cx+1)*4, ...]; active iff that child tile exists
-        present = (children > 0).astype(np.float32).reshape(
-            coarse.capacity, 2, 2, 2
-        )
-        mask = np.repeat(np.repeat(np.repeat(present, 4, 1), 4, 2), 4, 3)
+        mask = _restrict_mask_np(children, fine_mask)
 
         out.append(
             MGLevel(
@@ -101,10 +114,11 @@ def build_hierarchy(topo: Topology, levels: int) -> List[MGLevel]:
                 children=jnp.asarray(children),
                 parent=jnp.asarray(parent),
                 octant=jnp.asarray(oct_),
-                mask=jnp.asarray(mask.reshape(coarse.capacity, 512)),
+                mask=jnp.asarray(mask),
             )
         )
         fine = coarse
+        fine_mask = mask
     return out
 
 
