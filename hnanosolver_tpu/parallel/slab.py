@@ -458,6 +458,7 @@ def sharded_plume_step(
     params: SolverParams,
     cfg=None,
     axis: str = "x",
+    hierarchy: Optional[SlabHierarchy] = None,
 ):
     """Plume-model convenience wrapper over ``sharded_step``."""
     emit_fn = None
@@ -465,4 +466,5 @@ def sharded_plume_step(
         from hnanosolver_tpu.models.plume import emit
 
         emit_fn = lambda topo, state: emit(topo, state, cfg, params.dt)  # noqa: E731
-    return sharded_step(mesh, slab, params, emit_fn=emit_fn, axis=axis)
+    return sharded_step(mesh, slab, params, emit_fn=emit_fn, axis=axis,
+                        hierarchy=hierarchy)
