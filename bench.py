@@ -95,7 +95,7 @@ def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=4):
         pull(chain(state, k_lo))  # throwaway: the first call after an idle
         # gap pays tunnel cold-start
         samples.append((best(k_lo), best(k_hi)))
-    return slope_estimate(samples, 2, chain_len)
+    return slope_estimate(samples, 2, chain_len), samples
 
 
 def slope_estimate(samples, k_lo: int, k_hi: int, floor_s: float = 5e-3):
@@ -137,16 +137,26 @@ def main():
     cfg = PlumeConfig(center=(128.0, 24.0, 128.0), radius=20.0)
 
     # retry ladder: full 256^3-class envelope, then smaller if the tunneled
-    # worker misbehaves (crash / OOM) — always emit a JSON line.
+    # worker misbehaves (crash / OOM) — always emit a JSON line carrying the
+    # domain actually measured (a fallback run is self-describing).
     t = None
+    samples = []
+    domain = None
     for radius, height in [(64, 256), (48, 192), (32, 128)]:
         try:
             tiles = build_plume_envelope(radius_vox=radius, height_vox=height)
-            topo = build_topology(tiles)
+            # The envelope is the final developed domain — size capacity to
+            # it exactly (chunk-granular), like the reference's exact-size
+            # per-cook rebuild. The default growth-slack capacity made every
+            # kernel run over 1.46x the active rows (probe r3/002).
+            n = len(np.unique(tiles, axis=0))
+            tight = ((n + 1 + 511) // 512) * 512
+            topo = build_topology(tiles, capacity=tight)
             state = zeros_state(topo)
             for _ in range(2):  # develop fields a bit
                 state = plume_step(topo, state, params, cfg)
-            t = _measure(jax, topo, params, cfg, state)
+            t, samples = _measure(jax, topo, params, cfg, state)
+            domain = (radius, height)
             break
         except Exception as e:  # noqa: BLE001
             print(f"# bench config ({radius},{height}) failed: {e}", file=sys.stderr)
@@ -176,6 +186,18 @@ def main():
                 "value": round(vups, 1),
                 "unit": "voxel_updates/s/chip",
                 "vs_baseline": round(vups / baseline_vups, 4),
+                # self-description: the domain actually measured + raw
+                # per-round chain timings (lo, hi) in seconds, so a
+                # fallback-domain or congested run is identifiable from the
+                # artifact alone (VERDICT r2 weakness 6)
+                "domain_radius_height_vox": list(domain),
+                "active_tiles": int(topo.n_active),
+                "active_voxels": int(voxels),
+                "capacity_tiles": int(topo.capacity),
+                "step_ms": round(t * 1e3, 2),
+                "pressure_iterations": ITERATIONS,
+                "round_samples_s": [[round(a, 3), round(b, 3)]
+                                    for a, b in samples],
             }
         )
     )
