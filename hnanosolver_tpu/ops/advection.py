@@ -75,15 +75,19 @@ def _clamp(d):
 
 def cfl_clamped_count(topo: Topology, vel: jax.Array, dt: float,
                       inv_dx: float) -> jax.Array:
-    """Number of active voxels whose semi-Lagrangian backtrace displacement
-    exceeds DISP_LIMIT on some axis — i.e. voxels where the CFL clamp
-    engages and the result diverges from the reference's unbounded trace
-    (`/root/reference/src/Cuda/Kernel.cu:139`). Jit-safe scalar; zero for
-    flows within the documented dt bound |u| * dt / dx < 7."""
+    """Number of active voxels where a trace clamp CAN engage, diverging
+    from the reference's unbounded trace (`Kernel.cu:139`).
+
+    Covers BOTH clamps (round-2 ADVICE): the backtrace clamps at
+    |u|*dt/dx > DISP_LIMIT, and the BFECC forward re-trace clamps
+    d2 = d + u(back)*sdt, which |d2| <= 2*|d| bounds — so the conservative
+    trigger is 2*|u|*dt/dx > DISP_LIMIT. Counts voxels that MAY deviate
+    (an upper bound; the re-trace clamp depends on the sampled velocity).
+    Jit-safe scalar; zero for flows with |u| * dt / dx < 3.5."""
     from hnanosolver_tpu.core.topology import active_mask
 
     d = jnp.abs(vel) * (dt * inv_dx)
-    hit = jnp.any(d > DISP_LIMIT, axis=0) * active_mask(topo)[:, None]
+    hit = jnp.any(2.0 * d > DISP_LIMIT, axis=0) * active_mask(topo)[:, None]
     return jnp.sum(hit).astype(jnp.int32)
 
 

@@ -106,25 +106,39 @@ def state_source(topo, state, shape, origin=(0, 0, 0)) -> VolumeSource:
 
 
 def live_source(scenario: str, shape=(256, 256, 256), params=None, cfg=None) -> VolumeSource:
-    """A steppable plume/fire simulation as a volume source."""
+    """A steppable plume/fire simulation as a volume source.
+
+    ``fire`` runs the REAL fire model (models.fire: burner disk, combustion
+    defaults, burner keep-tiles) — not a hotter plume (round-2 ADVICE: the
+    live view showed a different simulation than ``cli fire``)."""
     from hnanosolver_tpu.config import SolverParams
     from hnanosolver_tpu.core.convert import tiles_to_dense
     from hnanosolver_tpu.models import plume as P
 
-    params = params or SolverParams()
-    if cfg is None:
-        s = float(min(shape))  # scale the emitter to the view box
-        kw = dict(center=(s / 2, s / 8, s / 2), radius=s / 10)
-        if scenario == "fire":
-            kw.update(fuel_rate=2.0, temperature_target=300.0)
-        cfg = P.PlumeConfig(**kw)
+    s = float(min(shape))  # scale the emitter to the view box
     # generous capacity so per-frame tile activation stays within it —
     # growth inside capacity never recompiles (core/topology.py), which is
     # what keeps interactive stepping interactive. Budget: the dense tile
     # count of the view box (the plume can't meaningfully outgrow the view).
     cap = int(np.clip(np.prod(np.asarray(shape) // 8), 512, 8192))
-    box = {"topo": P.initial_topology(cfg, capacity=cap)}
-    box["state"] = P.initial_state(box["topo"])
+    if scenario == "fire":
+        from hnanosolver_tpu.models import fire as F
+
+        params = params or F.default_params()
+        if cfg is None:
+            cfg = F.FireConfig(center=(s / 2, s / 16, s / 2), radius=s / 9)
+        topo0, state0 = F.initial(cfg, capacity=cap)
+        box = {"topo": topo0, "state": state0}
+        step_fn = F.fire_step
+        keep = F.burner_tiles(cfg)
+    else:
+        params = params or SolverParams()
+        if cfg is None:
+            cfg = P.PlumeConfig(center=(s / 2, s / 8, s / 2), radius=s / 10)
+        box = {"topo": P.initial_topology(cfg, capacity=cap)}
+        box["state"] = P.initial_state(box["topo"])
+        step_fn = P.plume_step
+        keep = P.emitter_tiles(cfg, pad=1)
 
     def bake() -> Volumes:
         topo, state = box["topo"], box["state"]
@@ -143,10 +157,11 @@ def live_source(scenario: str, shape=(256, 256, 256), params=None, cfg=None) -> 
         from hnanosolver_tpu.core.activation import expand_for_state
 
         for _ in range(n):
-            box["state"] = P.plume_step(box["topo"], box["state"], params, cfg)
+            box["state"] = step_fn(box["topo"], box["state"], params, cfg)
             box["topo"], box["state"] = expand_for_state(
                 box["topo"], box["state"], threshold=cfg.occupancy_threshold,
-                radius=cfg.dilate_radius,
+                radius=cfg.dilate_radius, keep_tiles=keep,
+                padding=cfg.padding,
             )
         return bake()
 
