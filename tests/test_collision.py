@@ -4,6 +4,7 @@ it, smoke does not penetrate the obstacle."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.config import SolverParams
 from hnanosolver_tpu.core.layout import positions_flat
@@ -77,3 +78,72 @@ def test_plume_does_not_penetrate_solid():
     )
     # smoke still rose around the obstacle
     assert float(jnp.max(state.velocity[1])) > 0.05
+
+
+@pytest.mark.slow
+def test_moving_collider_no_penetration_and_wake():
+    """BASELINE config 4: an ANIMATED solid (translating sphere, SDF
+    re-evaluated per frame on device) across >= 5 frames of a rising
+    plume. Asserts: the solid actually moves, smoke never penetrates it,
+    and the near-surface flow obeys no-slip (reference semantics
+    re-applied per cook with whatever SDF was animated in,
+    /root/reference/src/Cuda/Kernel.cu:77-116)."""
+    from hnanosolver_tpu.config import SolverParams
+    from hnanosolver_tpu.models.collider import (
+        ColliderConfig, run_collider, sphere_sdf, collider_center)
+    from hnanosolver_tpu.models.plume import PlumeConfig
+    from hnanosolver_tpu.core.layout import positions_flat
+    from hnanosolver_tpu.ops.collision import sdf_normal_field
+
+    from hnanosolver_tpu.config import CombustionParams
+    params = SolverParams(
+        dt=1.0 / 24.0, iterations=16, voxel_size=0.5,
+        combustion=CombustionParams(vorticity_scale=0.0))
+    cfg = PlumeConfig(center=(32.0, 8.0, 32.0), radius=6.0,
+                      velocity_jet=10.0, temperature_target=60.0)
+    col = ColliderConfig(center0=(26.0, 26.0, 32.0),
+                         velocity=(36.0, 0.0, 0.0), radius=7.0)
+
+    frames = 6
+    seen = []
+
+    def on_frame(f, topo, state):
+        sdf = np.asarray(state.scalars["collision_sdf"])
+        dens = np.asarray(state.scalars["density"])
+        vel = np.asarray(state.velocity)
+        n = np.asarray(sdf_normal_field(
+            topo, state.scalars["collision_sdf"], 1.0 / params.voxel_size))
+        seen.append((f, sdf, dens, vel, n))
+
+    # fixed pre-built domain covering plume + full collider path: ONE
+    # compile for all frames (growth recompiles are exercised elsewhere;
+    # on CPU they would dominate this test's runtime)
+    from hnanosolver_tpu.core.topology import build_topology_dense
+
+    topo = build_topology_dense((56, 48, 56), origin=(8, 0, 8))
+    run_collider(frames, params, cfg, col, topo=topo, grow_every=0,
+                 on_frame=on_frame)
+
+    assert len(seen) == frames
+    centers = [np.asarray(collider_center(col, f, params.dt)) for f, *_ in seen]
+    assert np.linalg.norm(centers[-1] - centers[0]) > 5.0  # it moved
+
+    for f, sdf, dens, vel, n in seen:
+        interior = sdf < -1.5
+        if interior.any():
+            # no smoke inside the moving solid, any frame
+            assert float(np.abs(dens[interior]).max()) < 1e-4, f
+            # velocity zeroed inside
+            assert float(np.abs(vel[:, interior]).max()) < 1e-4, f
+        shell = (sdf >= -0.5) & (sdf < 0.05)
+        if shell.sum() > 10:
+            vdotn = (vel * n).sum(axis=0)[shell]
+            vmag = np.sqrt((vel * vel).sum(axis=0))[shell] + 1e-12
+            # near-surface normal component is strongly suppressed
+            assert float(np.median(np.abs(vdotn) / vmag)) < 0.35, f
+
+    # wake plausibility: by the last frame the rising smoke has reached the
+    # collider's altitude but pooled OUTSIDE it (upstream stagnation)
+    f, sdf, dens, vel, n = seen[-1]
+    near_out = (sdf > 0.5) & (sdf < 6.0)
+    assert float(dens[near_out].max()) > 1e-3
