@@ -450,16 +450,27 @@ def _advect_chunked(
     return pf, pb
 
 
+# above this many bytes for the stacked [6, F, T, 512] face views, the
+# clamp switches to the one-direction-at-a-time form (1024^3-class domains)
+CLAMP_VIEWS_BUDGET = 2 * 1024**3
+
+
 def _minmax_clamp_multi(topo, phi0s, phi_fs, corrs):
     """BFECC min-max clamp over F stacked fields [F,T,512]: clamp each
     corrected value to [min, max] over its voxel, 6 face neighbors, and
     phiF (Kernel.cu:249-261); out-of-domain neighbors contribute background
-    0. One row gather feeds all 6F face views (vs ~6F dispatched gathers)."""
+    0. One row gather feeds all 6F face views (vs ~6F dispatched gathers);
+    at-scale domains use the memory-lean per-direction reduction instead."""
     lo = jnp.minimum(phi0s, phi_fs)
     hi = jnp.maximum(phi0s, phi_fs)
-    views = sh.face_views_multi(topo, phi0s)  # [6,F,T,512]
-    lo = jnp.minimum(lo, jnp.min(views, axis=0))
-    hi = jnp.maximum(hi, jnp.max(views, axis=0))
+    if 6 * phi0s.size * 4 > CLAMP_VIEWS_BUDGET:
+        mins, maxs = sh.face_minmax_multi(topo, phi0s)
+        lo = jnp.minimum(lo, mins)
+        hi = jnp.maximum(hi, maxs)
+    else:
+        views = sh.face_views_multi(topo, phi0s)  # [6,F,T,512]
+        lo = jnp.minimum(lo, jnp.min(views, axis=0))
+        hi = jnp.maximum(hi, jnp.max(views, axis=0))
     return jnp.clip(corrs, lo, hi)
 
 

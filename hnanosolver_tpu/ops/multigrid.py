@@ -131,59 +131,71 @@ def hierarchy_for(topo: Topology, params) -> tuple:
     return tuple(build_hierarchy(topo, params.mg_levels))
 
 
+# ---------------------------------------------------------------------------
+# Transfer operators.
+#
+# All index juggling is precomputed as static LANE permutations so every
+# on-device array stays [T, 512]-shaped (or [T, small]) — reshapes through
+# [.., 8, 8, 8] / [.., 4, 4, 4] shapes padded their minor dims to (8, 128)
+# tiles on TPU, a 16-32x blowup that OOMed the 1024^3 solve (probe r3/009:
+# a 35 GB copy for a 2.2 GB logical array).
+# ---------------------------------------------------------------------------
+
+
+def _lane_xyz(l: np.ndarray):
+    return l // 64, (l // 8) % 8, l % 8
+
+
+_L = np.arange(512)
+_LX, _LY, _LZ = _lane_xyz(_L)
+# restrict step 2: the 64 even-corner lanes holding each 2x2x2 block sum
+_IDX_DOWN = np.asarray(
+    [128 * a + 16 * b + 2 * c
+     for a in range(4) for b in range(4) for c in range(4)], np.int32)
+# restrict step 3: from octant-major [o*64 + k] to the coarse flat lane
+_PERM_ASSEMBLE = np.empty(512, np.int32)
+for _l in range(512):
+    _cx, _cy, _cz = _LX[_l], _LY[_l], _LZ[_l]
+    _o = (_cx // 4) * 4 + (_cy // 4) * 2 + (_cz // 4)
+    _k = (_cx % 4) * 16 + (_cy % 4) * 4 + (_cz % 4)
+    _PERM_ASSEMBLE[_l] = _o * 64 + _k
+# prolongation: per fine-tile octant o, the parent lane covering fine lane l
+_IDX_OCT = np.empty((8, 512), np.int32)
+for _o in range(8):
+    _ox, _oy, _oz = (_o >> 2) & 1, (_o >> 1) & 1, _o & 1
+    _IDX_OCT[_o] = ((_ox * 4 + _LX // 2) * 64 + (_oy * 4 + _LY // 2) * 8
+                    + (_oz * 4 + _LZ // 2))
+# trilinear prolongation: parity-field index q = pz*4 + py*2 + px per lane,
+# combined with the octant lane into one index over the [8, 512] lane-space
+_Q = (_LZ & 1) * 4 + (_LY & 1) * 2 + (_LX & 1)
+_IDX_OCT_Q = (_Q[None, :] * 512 + _IDX_OCT).astype(np.int32)  # [8, 512]
+
+
 def restrict(level: MGLevel, fine: jax.Array) -> jax.Array:
     """[Tf,512] -> [Tc,512] (flat layout): average 2x2x2 fine voxels,
     assemble the 8 child tiles into the coarse tile's octants."""
-    Tf = fine.shape[0]
-    # per-fine-tile 2x downsample -> [Tf,4,4,4] (flat order == block order)
-    avg = fine.reshape(Tf, 4, 2, 4, 2, 4, 2).mean(axis=(2, 4, 6))
     Tc = level.children.shape[0]
-    # gather children [Tc, 8, 4,4,4] (row gathers; absent -> null tile zeros)
-    ch = jnp.take(avg, level.children.reshape(-1), axis=0).reshape(Tc, 2, 2, 2, 4, 4, 4)
-    # octant (cx,cy,cz) occupies coarse[cx*4:(cx+1)*4, ...]
-    out = jnp.moveaxis(ch, (1, 2, 3), (1, 3, 5))  # [Tc, 2,4, 2,4, 2,4]
-    return out.reshape(Tc, 512)
+    # pairwise sums along z, y, x via lane rolls; the wrap garbage lands on
+    # odd lanes, which the even-corner selection below never reads
+    s = fine + jnp.roll(fine, -1, axis=1)
+    s = s + jnp.roll(s, -8, axis=1)
+    s = s + jnp.roll(s, -64, axis=1)
+    down = jnp.take(s, jnp.asarray(_IDX_DOWN), axis=1) * 0.125  # [Tf, 64]
+    ch = jnp.take(down, level.children.reshape(-1), axis=0)
+    ch = ch.reshape(Tc, 512)  # octant-major [o*64 + k]
+    return jnp.take(ch, jnp.asarray(_PERM_ASSEMBLE), axis=1)
 
 
 def prolong(level: MGLevel, coarse: jax.Array, fine_capacity: int) -> jax.Array:
     """[Tc,512] -> [Tf,512] (flat layout): pick each fine tile's 4^3 octant
     of its parent and upsample 2x (piecewise constant)."""
-    # parent rows + octant slices; gather parent tiles per fine tile
-    par = jnp.take(coarse, level.parent, axis=0).reshape(-1, 8, 8, 8)
-    # slice the octant: offsets 0 or 4 per axis
-    ox = (level.octant >> 2) & 1
-    oy = (level.octant >> 1) & 1
-    oz = level.octant & 1
-    # build per-tile 4^3 block via take_along_axis on each axis
-    ix = (jnp.arange(4)[None, :] + ox[:, None] * 4)  # [Tf,4]
-    iy = (jnp.arange(4)[None, :] + oy[:, None] * 4)
-    iz = (jnp.arange(4)[None, :] + oz[:, None] * 4)
-    blk = jnp.take_along_axis(par, ix[:, :, None, None], axis=1)
-    blk = jnp.take_along_axis(blk, iy[:, None, :, None], axis=2)
-    blk = jnp.take_along_axis(blk, iz[:, None, None, :], axis=3)  # [Tf,4,4,4]
-    up = jnp.repeat(jnp.repeat(jnp.repeat(blk, 2, 1), 2, 2), 2, 3)
-    return up.reshape(-1, 512)
-
-
-def _octant_block(level: MGLevel, par: jax.Array) -> jax.Array:
-    """Slice each fine tile's 4^3 octant out of gathered parent tiles.
-    par: [Tf, ..., 8, 8, 8] -> [Tf, ..., 4, 4, 4] (leading dims preserved)."""
-    ox = (level.octant >> 2) & 1
-    oy = (level.octant >> 1) & 1
-    oz = level.octant & 1
-    ax = par.ndim - 3
-    shp = [1] * par.ndim
-    shp[0] = par.shape[0]
-
-    def idx(o, axis):
-        s = list(shp)
-        s[ax + axis] = 4
-        return (jnp.arange(4).reshape([1] * (ax + axis) + [4] + [1] * (2 - axis))
-                + o.reshape(shp) * 4)
-
-    blk = jnp.take_along_axis(par, idx(ox, 0), axis=ax)
-    blk = jnp.take_along_axis(blk, idx(oy, 1), axis=ax + 1)
-    return jnp.take_along_axis(blk, idx(oz, 2), axis=ax + 2)
+    par = jnp.take(coarse, level.parent, axis=0)  # [Tf, 512]
+    out = jnp.zeros_like(par)
+    oct_ = level.octant[:, None]
+    for o in range(8):
+        cand = jnp.take(par, jnp.asarray(_IDX_OCT[o]), axis=1)
+        out = jnp.where(oct_ == o, cand, out)
+    return out
 
 
 def _shifted_view_batch(topo: Topology, fs: jax.Array, off) -> jax.Array:
@@ -210,8 +222,11 @@ def prolong_trilinear(level: MGLevel, coarse: jax.Array) -> jax.Array:
     -0.25 (+0.25), so its 1-D weights are 0.75 on its parent cell and 0.25
     on the -1 (+1) coarse neighbor. The 8 parity combinations are evaluated
     on the COARSE grid (batched shifted views there — 6 gathers total), then
-    each fine tile gathers its parent's octant from the stacked parity
-    fields and interleaves. Out-of-domain coarse reads are 0 (Dirichlet)."""
+    each fine tile reads its parent's octant from the stacked parity fields
+    through one static lane permutation per octant (combined parity+octant
+    index over the [8, 512] lane-space — no [.., 8, 8, 8]-shaped
+    intermediates, see the transfer-operator note above). Out-of-domain
+    coarse reads are 0 (Dirichlet)."""
     topo_c = level.topo
     fields = coarse[None]  # [1, Tc, 512]
     for axis in range(3):
@@ -221,14 +236,15 @@ def prolong_trilinear(level: MGLevel, coarse: jax.Array) -> jax.Array:
         hi = 0.75 * fields + 0.25 * _shifted_view_batch(topo_c, fields, off_p)
         fields = jnp.concatenate([lo, hi], axis=0)
     # stacking order: axis-k parity lands in bit k => index q = pz*4+py*2+px
-    stacked = jnp.moveaxis(fields, 0, 1)  # [Tc, 8, 512]
-    par = jnp.take(stacked, level.parent, axis=0).reshape(-1, 8, 8, 8, 8)
-    blk = _octant_block(level, par)  # [Tf, 8(q), 4, 4, 4]
-    Tf = blk.shape[0]
-    # fine[2a+px, 2b+py, 2c+pz] = blk[pz*4+py*2+px][a, b, c]
-    blk = blk.reshape(Tf, 2, 2, 2, 4, 4, 4)  # (pz, py, px, a, b, c)
-    out = jnp.transpose(blk, (0, 4, 3, 5, 2, 6, 1))  # (a,px, b,py, c,pz)
-    return out.reshape(Tf, 512)
+    Tc = coarse.shape[0]
+    stacked = jnp.moveaxis(fields, 0, 1).reshape(Tc, 8 * 512)
+    par = jnp.take(stacked, level.parent, axis=0)  # [Tf, 4096]
+    out = jnp.zeros((par.shape[0], 512), par.dtype)
+    oct_ = level.octant[:, None]
+    for o in range(8):
+        cand = jnp.take(par, jnp.asarray(_IDX_OCT_Q[o]), axis=1)
+        out = jnp.where(oct_ == o, cand, out)
+    return out
 
 
 def v_cycle(

@@ -354,6 +354,22 @@ def build_table(topo, fields: Sequence[jax.Array], dtype=jnp.float32) -> jax.Arr
     return tbl.reshape(nc, U * nf, 8, 64)
 
 
+# Table-memory governor: the gathered unique-row table is ~1.5-2x the
+# packed field bytes; above this budget the kernel runs in chunk SLICES
+# under lax.scan so only one slice's table is live at a time (the 1024^3
+# single-chip configuration — BASELINE config 5).
+TABLE_BYTES_BUDGET = 2 * 1024**3
+
+
+def _pick_slices(nc: int, U: int, nf: int) -> int:
+    per_chunk = U * nf * 8 * 128 * 4  # bytes, incl. the (8,128) lane pad
+    total = nc * per_chunk
+    s = 1
+    while total // s > TABLE_BYTES_BUDGET and s < nc:
+        s += 1
+    return s
+
+
 def bfecc_sample_fused(
     topo,
     fields: Sequence[jax.Array],
@@ -366,6 +382,7 @@ def bfecc_sample_fused(
     prec: str = "strict",
     interpret=None,
     win: int = 16,
+    slices: Optional[int] = None,
 ) -> Tuple[List[jax.Array], List[jax.Array]]:
     """Fused BFECC sampling: returns (phiF list over fields[f_lo:],
     phiB list over fields[f_lo:]). ``fields[0:3]`` MUST be the velocity
@@ -373,7 +390,12 @@ def bfecc_sample_fused(
     self-advection pass f_lo=0, for scalars f_lo=3.
 
     ``win``: 24 = full 3x3x3-tile window, valid for any caller-clamped
-    displacements; 16 = narrow window, requires sdt*max|u| < CFL_LIMIT."""
+    displacements; 16 = narrow window, requires sdt*max|u| < CFL_LIMIT.
+
+    ``slices``: split the chunk axis into this many sequential kernel
+    invocations (lax.scan) so only 1/slices of the gathered table is live
+    at once; None = auto by TABLE_BYTES_BUDGET. Bit-identical to the
+    unsliced call (chunks are independent)."""
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(prec, bool):
@@ -385,11 +407,47 @@ def bfecc_sample_fused(
     T = topo.capacity
     nc, U = topo.chunk_uniq.shape
     C = T // nc
-    tbl = build_table(topo, all_fields)
-    fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None, float(sdt),
-                bool(interpret), prec, int(win))
-    out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
     nf_out = nb - f_lo
+    if slices is None:
+        slices = _pick_slices(nc, U, nf_all)
+    if slices <= 1:
+        tbl = build_table(topo, all_fields)
+        fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None,
+                    float(sdt), bool(interpret), prec, int(win))
+        out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
+        return (
+            [out[:, j, :] for j in range(nf_out)],
+            [out[:, nf_out + j, :] for j in range(nf_out)],
+        )
+
+    ncs = -(-nc // slices)  # chunks per slice; tail-padded with null chunks
+    pad = slices * ncs - nc
+    Ts = ncs * C
+
+    def padc(a, rows_per_chunk, shape_tail):
+        if not pad:
+            return a
+        z = jnp.zeros((pad * rows_per_chunk,) + shape_tail, a.dtype)
+        return jnp.concatenate([a, z], axis=0)
+
+    packed = jnp.stack(all_fields, axis=1).reshape(T, nf_all * 512)
+    fn = _build(ncs, U, C, Ts, nf_all, nb, f_lo, sdf is not None,
+                float(sdt), bool(interpret), prec, int(win))
+    xs = (
+        padc(topo.chunk_uniq, 1, (U,)).reshape(slices, ncs * U),
+        padc(topo.chunk_lnbr, C, (27,)).reshape(slices, Ts, 27),
+        padc(dx, C, (512,)).reshape(slices, Ts, 512),
+        padc(dy, C, (512,)).reshape(slices, Ts, 512),
+        padc(dz, C, (512,)).reshape(slices, Ts, 512),
+    )
+
+    def body(carry, x):
+        uq, ln, dxs, dys, dzs = x
+        tbl = jnp.take(packed, uq, axis=0).reshape(ncs, U * nf_all, 8, 64)
+        return carry, fn(ln, dxs, dys, dzs, tbl)
+
+    _, outs = jax.lax.scan(body, 0, xs)  # [slices, Ts, 2*nf_out, 512]
+    out = outs.reshape(slices * Ts, 2 * nf_out, 512)[:T]
     return (
         [out[:, j, :] for j in range(nf_out)],
         [out[:, nf_out + j, :] for j in range(nf_out)],

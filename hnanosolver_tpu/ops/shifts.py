@@ -69,6 +69,26 @@ def neighbor_sum(topo: Topology, f: jax.Array) -> jax.Array:
     return v[0] + v[1] + v[2] + v[3] + v[4] + v[5]
 
 
+def face_minmax_multi(topo: Topology, fields: jax.Array):
+    """Per-voxel (min, max) over the six face-shifted views of F stacked
+    fields, computed one direction at a time — the memory-lean form of
+    ``face_views_multi`` for at-scale domains, where materializing
+    [6, F, T, 512] (plus its gather) costs 2 x 6F field-bytes (16 GB each
+    at 1024^3 with 5 fields). Peak here is ONE view [F, T, 512]."""
+    F, T, _ = fields.shape
+    packed = jnp.moveaxis(fields, 0, 1).reshape(T, F * TILE)
+    mins = maxs = None
+    for off in FACE_DIRS:
+        mask, s_in, s_fix = _DIRS[off]
+        nbr = jnp.take(packed, topo.nbr[:, d_of(off)], axis=0)
+        nbr = jnp.moveaxis(nbr.reshape(T, F, TILE), 1, 0)
+        view = jnp.where(mask, jnp.roll(nbr, s_fix, axis=-1),
+                         jnp.roll(fields, s_in, axis=-1))
+        mins = view if mins is None else jnp.minimum(mins, view)
+        maxs = view if maxs is None else jnp.maximum(maxs, view)
+    return mins, maxs
+
+
 def face_views_multi(topo: Topology, fields: jax.Array) -> jax.Array:
     """All six face-shifted views of F stacked fields with ONE row gather.
 

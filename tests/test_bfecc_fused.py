@@ -156,3 +156,28 @@ def test_advect_vmem_cond_dispatch():
         pf_w, pb_w = adv._advect_vmem_wide(topo, v, fields, 1.0, None)
         assert float(jnp.max(jnp.abs(pf_n - pf_w))) < ATOL
         assert float(jnp.max(jnp.abs(pb_n - pb_w))) < ATOL
+
+
+def test_sliced_call_is_bit_identical():
+    """slices > 1 runs the chunk axis in sequential lax.scan slices (the
+    1024^3 table-memory governor) and must be bit-identical, including the
+    null-chunk tail padding when slices doesn't divide the chunk count."""
+    import numpy as np
+    from hnanosolver_tpu.core.topology import build_topology
+    from hnanosolver_tpu.ops import pallas_bfecc as pb
+
+    tiles = [(x, y, z) for x in range(6) for y in range(4) for z in range(3)
+             if (x + y + z) % 5 != 4]
+    topo = build_topology(np.array(tiles, np.int32))
+    T = topo.capacity
+    rng = np.random.default_rng(0)
+    flds = [jnp.asarray(rng.normal(size=(T, 512)).astype(np.float32))
+            for _ in range(5)]
+    d = [jnp.asarray(rng.uniform(-1.5, 1.5, (T, 512)).astype(np.float32))
+         for _ in range(3)]
+    a1 = pb.bfecc_sample_fused(topo, flds, *d, 0.5, 3, None, "strict",
+                               win=16, slices=1)
+    a3 = pb.bfecc_sample_fused(topo, flds, *d, 0.5, 3, None, "strict",
+                               win=16, slices=3)
+    for x, y in zip(a1[0] + a1[1], a3[0] + a3[1]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

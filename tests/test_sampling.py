@@ -192,3 +192,21 @@ def test_rk4_trace_wiring(rng):
                                trace_order=4)["d"]
     assert np.isfinite(np.asarray(o4r)).all()
     assert float(jnp.max(o4r)) <= float(jnp.max(blob)) + 1e-5  # BFECC clamp
+
+
+def test_face_minmax_multi_matches_stacked_views():
+    """The memory-lean per-direction min/max (1024^3 clamp path) equals the
+    stacked face_views_multi reduction exactly."""
+    import numpy as np
+    from hnanosolver_tpu.core.topology import build_topology
+    from hnanosolver_tpu.ops import shifts as sh
+
+    tiles = [(x, y, z) for x in range(4) for y in range(3) for z in range(3)
+             if (x + y + z) % 4 != 3]
+    topo = build_topology(np.array(tiles, np.int32))
+    rng = np.random.default_rng(1)
+    fs = jnp.asarray(rng.normal(size=(3, topo.capacity, 512)).astype(np.float32))
+    views = sh.face_views_multi(topo, fs)
+    mins, maxs = sh.face_minmax_multi(topo, fs)
+    np.testing.assert_array_equal(np.asarray(views.min(0)), np.asarray(mins))
+    np.testing.assert_array_equal(np.asarray(views.max(0)), np.asarray(maxs))
