@@ -430,7 +430,6 @@ def bfecc_sample_fused(
         z = jnp.zeros((pad * rows_per_chunk,) + shape_tail, a.dtype)
         return jnp.concatenate([a, z], axis=0)
 
-    packed = jnp.stack(all_fields, axis=1).reshape(T, nf_all * 512)
     fn = _build(ncs, U, C, Ts, nf_all, nb, f_lo, sdf is not None,
                 float(sdt), bool(interpret), prec, int(win))
     xs = (
@@ -443,7 +442,13 @@ def bfecc_sample_fused(
 
     def body(carry, x):
         uq, ln, dxs, dys, dzs = x
-        tbl = jnp.take(packed, uq, axis=0).reshape(ncs, U * nf_all, 8, 64)
+        # per-field gathers (vs the unsliced path's packed pre-gather copy):
+        # nf-fold more descriptors over 1/slices of the rows, but no
+        # [T, nf*512] resident copy — at 1024^3 that copy alone is ~4.4 GB
+        # held across every slice
+        cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],
+                         axis=1)  # [ncs*U, nf, 512]
+        tbl = cols.reshape(ncs, U * nf_all, 8, 64)
         return carry, fn(ln, dxs, dys, dzs, tbl)
 
     _, outs = jax.lax.scan(body, 0, xs)  # [slices, Ts, 2*nf_out, 512]

@@ -47,6 +47,9 @@ def _on_tpu() -> bool:
 
 def _kernel_lagged(K: int, omega: float, dx2: float,
                    p_ref, div_ref, porg_ref, faces_ref, out_ref):
+    # porg_ref is [G, 1] (tile-granular parity/mask) or [G, TILE]
+    # (voxel-granular, multigrid coarse levels) — [G, 1] saves re-reading a
+    # broadcast [T, 512] int32 array on every launch of the hot RBGS loop
     """K red+black sweep pairs per launch with the cross-tile halo gathered
     ONCE (in-tile neighbor reads stay exact via lane rolls; cross-tile face
     values lag by up to 2K-1 half-sweeps). The reference's own cross-block
@@ -71,8 +74,9 @@ def _kernel_lagged(K: int, omega: float, dx2: float,
         pltpu.roll(faces_ref[di], _ROLLS[off][1] % TILE, 1)
         for di, off in enumerate(_DIRS)
     ]
-    parity = (porg_ref[:] + cx + cy + cz) & 1
-    in_dom = porg_ref[:] < 2
+    porg = jnp.broadcast_to(porg_ref[:], (G, TILE))
+    parity = (porg + cx + cy + cz) & 1
+    in_dom = porg < 2
 
     def sweep(color, p):
         nbr_sum = jnp.zeros((G, TILE), jnp.float32)
@@ -92,15 +96,18 @@ def _kernel_lagged(K: int, omega: float, dx2: float,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_lagged(K: int, omega: float, dx2: float, T: int, interpret: bool):
+def _build_lagged(K: int, omega: float, dx2: float, T: int, interpret: bool,
+                  porg_cols: int = TILE):
     spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((G, porg_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec(
         (6, G, TILE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         functools.partial(_kernel_lagged, K, omega, dx2),
         grid=(T // G,),
-        in_specs=[spec, spec, spec, fspec],
+        in_specs=[spec, spec, pspec, fspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((T, TILE), jnp.float32),
         interpret=interpret,
@@ -127,16 +134,20 @@ def solve_pressure_lagged(
     assert iterations % halo_lag == 0, (iterations, halo_lag)
     T = div.shape[0]
     org = topo.origins * 8
-    porg = jnp.broadcast_to(
-        ((org[:, 0] + org[:, 1] + org[:, 2]) & 1)[:, None], (T, TILE)
-    ).astype(jnp.int32)
-    if mask is not None:
+    if mask is not None:  # voxel-granular in-domain mask (MG coarse levels)
+        porg = jnp.broadcast_to(
+            ((org[:, 0] + org[:, 1] + org[:, 2]) & 1)[:, None], (T, TILE)
+        ).astype(jnp.int32)
         porg = jnp.where(mask > 0, porg, porg + 2)
+    else:  # tile-granular: one int per tile
+        porg = ((org[:, 0] + org[:, 1] + org[:, 2]) & 1).astype(
+            jnp.int32)[:, None]
     p = jnp.zeros_like(div) if p0 is None else p0
     if mask is not None:
         p = p * mask
     fn = _build_lagged(
-        int(halo_lag), float(omega), float(dx) * float(dx), T, bool(interpret)
+        int(halo_lag), float(omega), float(dx) * float(dx), T,
+        bool(interpret), porg.shape[1]
     )
     # one fused gather for all six face directions per halo block
     nbr6 = jnp.concatenate([topo.nbr[:, d_of(off)] for off in _DIRS])

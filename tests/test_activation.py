@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.config import SolverParams
 from hnanosolver_tpu.core.activation import (
@@ -71,6 +72,7 @@ def test_occupancy_and_expand():
     assert new_topo.capacity == topo.capacity
 
 
+@pytest.mark.slow
 def test_plume_grows_and_rises():
     cfg = PlumeConfig(
         center=(32.0, 12.0, 32.0),

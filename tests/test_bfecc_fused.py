@@ -57,6 +57,7 @@ def _sparse_topo(rng):
     return build_topology(box[rng.random(len(box)) < 0.5])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sparse", [False, True])
 def test_scalars_mode_matches_wide(sparse):
     rng = np.random.default_rng(3)
@@ -142,6 +143,7 @@ def test_sdf_rejection_matches_wide():
     assert float(jnp.max(jnp.abs(pbk[0] - phib[0]))) < ATOL
 
 
+@pytest.mark.slow
 def test_advect_vmem_cond_dispatch():
     """_advect_vmem: the narrow/wide lax.cond picks narrow for small CFL and
     wide for fast flows, both returning wide-equivalent samples."""

@@ -56,6 +56,7 @@ def test_enforce_collision_semantics():
     np.testing.assert_allclose(dot, 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_plume_does_not_penetrate_solid():
     topo, state, sdf, (px, py, pz), m = _setup()
     params = SolverParams(dt=0.2, iterations=8, voxel_size=0.5, has_collision=True)

@@ -2,10 +2,12 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.models.fire import FireConfig, default_params, run_fire
 
 
+@pytest.mark.slow
 def test_fireball_ignites_and_rises():
     cfg = FireConfig(center=(24.0, 8.0, 24.0), radius=8.0)
     params = default_params().replace(iterations=8, dt=0.1)

@@ -4,6 +4,7 @@ test can't)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.config import SolverParams
 from hnanosolver_tpu.core import layout as L
@@ -16,6 +17,7 @@ from hnanosolver_tpu.solver import step
 N = 24
 
 
+@pytest.mark.slow
 def test_five_step_golden(rng):
     x, y, z = np.meshgrid(*(np.arange(N),) * 3, indexing="ij")
     blob = np.exp(

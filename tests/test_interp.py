@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.core.topology import active_mask, build_topology_dense
 from hnanosolver_tpu.ops import shifts as sh
@@ -87,6 +88,7 @@ def test_vmem_sampler_matches_gather(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_advection_vmem_matches_gather(rng):
     """Full BFECC advection through the vmem path (with SDF rejection and
     velocity self-advection dedupe) must match the gather formulation."""

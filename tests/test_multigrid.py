@@ -3,6 +3,7 @@ convergence vs plain red-black SOR at comparable work."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.core.topology import (
     active_mask,
@@ -68,6 +69,7 @@ def test_restrict_positions():
     )
 
 
+@pytest.mark.slow
 def test_vcycle_beats_rbgs_at_same_work():
     topo = build_topology_dense((32, 32, 32))
     hier = build_hierarchy(topo, 2)
@@ -183,6 +185,7 @@ def test_step_with_mg_pressure():
     assert float(jnp.max(out.velocity[1])) > 0  # buoyancy acted
 
 
+@pytest.mark.slow
 def test_vcycle_depth3_converges_on_sparse_cone():
     """Depth >= 3 was capped in round 2 (tile-approximate masks diverged on
     sparse domains). With masks carried as restricted data (any-of-children,

@@ -5,6 +5,7 @@ Flat layout: scalars [T,512], velocity [3,T,512]."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.config import SolverParams
 from hnanosolver_tpu.core.layout import positions_flat
@@ -90,6 +91,7 @@ def test_combustion_stoichiometry():
     np.testing.assert_allclose(np.asarray(fl), [1.0, 0.0, 0.0, 0.0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_buoyant_plume_rises_sparse():
     """A hot blob on a sparse (non-box) topology gains upward velocity and
     transports density upward over a few steps."""

@@ -76,6 +76,7 @@ def test_scatter_gather_roundtrip(rng, mesh):
         )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(rng, mesh):
     topo = _random_sparse_topology(rng)
     state = _demo_state(topo, rng)
@@ -102,6 +103,7 @@ def test_sharded_step_matches_single_device(rng, mesh):
         )
 
 
+@pytest.mark.slow
 def test_sharded_step_mg_matches_single_device(rng, mesh):
     """The unified step with multigrid pressure + replicated-coarse psum
     restriction must match the single-device MG step."""
@@ -137,6 +139,7 @@ def test_sharded_step_mg_matches_single_device(rng, mesh):
         )
 
 
+@pytest.mark.slow
 def test_sharded_step_fast_and_sdf(rng, mesh):
     """fast precision + collision SDF through the unified sharded step."""
     from hnanosolver_tpu.core.layout import positions_flat

@@ -13,7 +13,8 @@ import sys
 import time
 
 
-def main(target_tiles: int = 20_000, iterations: int = 4):
+def main(target_tiles: int = 20_000, iterations: int = 4,
+         height_vox: int = 512):
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
         os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
@@ -47,11 +48,13 @@ def main(target_tiles: int = 20_000, iterations: int = 4):
     from bench import build_plume_envelope
 
     r = 64
-    tiles = build_plume_envelope(radius_vox=r, height_vox=512)
+    c = height_vox // 2
+    tiles = build_plume_envelope(radius_vox=r, height_vox=height_vox,
+                                 center_x=c, center_z=c)
     while len(tiles) < target_tiles:
         r += 8
-        tiles = build_plume_envelope(radius_vox=r, height_vox=512,
-                                     center_x=256, center_z=256)
+        tiles = build_plume_envelope(radius_vox=r, height_vox=height_vox,
+                                     center_x=c, center_z=c)
     topo = build_topology(tiles)
     n = int(topo.n_active)
     print(f"domain: {n} tiles = {topo.num_voxels / 1e6:.1f} M voxels, "
@@ -137,4 +140,5 @@ def main(target_tiles: int = 20_000, iterations: int = 4):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     it = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    main(n, it)
+    h = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    main(n, it, h)
