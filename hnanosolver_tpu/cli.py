@@ -147,6 +147,46 @@ def cmd_plume(args):
         print(f"done: {args.frames} frames in {time.perf_counter() - t0:.1f}s")
 
 
+def cmd_collide(args):
+    """Moving-collider scenario (BASELINE config 4): a plume with a
+    translating sphere whose SDF is re-evaluated on device each frame."""
+    from hnanosolver_tpu.models.collider import ColliderConfig, run_collider
+    from hnanosolver_tpu.models.plume import PlumeConfig
+
+    params = _params(args)
+    cfg = PlumeConfig(center=tuple(args.center), radius=args.radius,
+                      padding=args.padding)
+    col = ColliderConfig(center0=tuple(args.collider_center),
+                         velocity=tuple(args.collider_velocity),
+                         radius=args.collider_radius)
+    os.makedirs(args.out, exist_ok=True)
+    view = tuple(args.view_box)
+
+    def on_frame(f, topo, state):
+        t0 = time.perf_counter()
+        if args.ckpt_every and (f + 1) % args.ckpt_every == 0:
+            _save_frame(args.format, args.out, "frame", topo, state, params, f + 1)
+        if args.render and (f + 1) % args.render_every == 0:
+            from hnanosolver_tpu.viewer.render import render_state, write_png
+
+            img = render_state(topo, state, view)
+            write_png(os.path.join(args.out, f"frame_{f + 1:04d}.png"), img)
+        print(
+            f"frame {f + 1}/{args.frames}: {int(topo.n_active)} tiles "
+            f"({topo.num_voxels / 1e6:.2f} M voxels), io "
+            f"{time.perf_counter() - t0:.2f}s",
+            flush=True,
+        )
+
+    t0 = time.perf_counter()
+    from hnanosolver_tpu.utils.interrupt import Interrupter
+
+    with Interrupter() as intr:
+        run_collider(args.frames, params=params, cfg=cfg, col=col,
+                     on_frame=on_frame, interrupter=intr)
+    print(f"done: {args.frames} frames in {time.perf_counter() - t0:.1f}s")
+
+
 def cmd_fire(args):
     from hnanosolver_tpu.models.fire import FireConfig, default_params, run_fire
 
@@ -365,6 +405,26 @@ def main(argv=None):
     p.add_argument("--render-every", type=int, default=1)
     p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
     p.set_defaults(fn=cmd_plume)
+
+    p = sub.add_parser(
+        "collide",
+        help="plume + moving solid (animated SDF re-evaluated per frame)")
+    _add_solver_args(p)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--center", type=float, nargs=3, default=[64.0, 16.0, 64.0])
+    p.add_argument("--radius", type=float, default=12.0)
+    p.add_argument("--collider-center", type=float, nargs=3,
+                   default=[40.0, 56.0, 64.0])
+    p.add_argument("--collider-velocity", type=float, nargs=3,
+                   default=[48.0, 0.0, 0.0], help="voxels/second")
+    p.add_argument("--collider-radius", type=float, default=14.0)
+    p.add_argument("--out", default="out")
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--format", choices=["npz", "vdb", "vdbz", "nvdb"], default="npz")
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--render-every", type=int, default=1)
+    p.add_argument("--view-box", type=int, nargs=3, default=[128, 128, 128])
+    p.set_defaults(fn=cmd_collide)
 
     p = sub.add_parser("fire", help="run the fire/combustion scenario")
     _add_solver_args(p)

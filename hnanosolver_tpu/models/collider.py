@@ -57,8 +57,7 @@ def collider_center(col: ColliderConfig, frame, dt: float) -> jax.Array:
     return c0 + v * (jnp.asarray(frame, jnp.float32) * dt)
 
 
-@partial(jax.jit, static_argnames=("params", "cfg", "col"))
-def collider_step(
+def _collider_step(
     topo: Topology,
     state: FieldState,
     params: SolverParams,
@@ -76,6 +75,14 @@ def collider_step(
     from hnanosolver_tpu.solver import step
 
     return step(topo, state, params, hierarchy)
+
+
+collider_step = partial(
+    jax.jit, static_argnames=("params", "cfg", "col"))(_collider_step)
+# frame-loop variant: donates the input state (see models.plume)
+collider_step_donated = partial(
+    jax.jit, static_argnames=("params", "cfg", "col"), donate_argnums=(1,)
+)(_collider_step)
 
 
 def collider_tiles(col: ColliderConfig, frame: int, dt: float,
@@ -128,8 +135,8 @@ def run_collider(
     for f in range(frames):
         if interrupter is not None and interrupter.was_interrupted():
             break
-        state = collider_step(topo, state, params, cfg, col,
-                              jnp.asarray(f, jnp.float32), hier)
+        state = collider_step_donated(topo, state, params, cfg, col,
+                                      jnp.asarray(f, jnp.float32), hier)
         if grow_every and (f + 1) % grow_every == 0:
             keep = np.concatenate([
                 P.emitter_tiles(cfg, pad=1),

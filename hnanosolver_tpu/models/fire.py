@@ -94,8 +94,7 @@ def emit(topo: Topology, state: FieldState, cfg: FireConfig, dt: float) -> Field
     return FieldState(velocity=vel, scalars=s)
 
 
-@partial(jax.jit, static_argnames=("params", "cfg"))
-def fire_step(
+def _fire_step(
     topo: Topology,
     state: FieldState,
     params: SolverParams,
@@ -103,6 +102,13 @@ def fire_step(
     hierarchy: tuple = (),
 ) -> FieldState:
     return step(topo, emit(topo, state, cfg, params.dt), params, hierarchy)
+
+
+fire_step = partial(jax.jit, static_argnames=("params", "cfg"))(_fire_step)
+# frame-loop variant: donates the input state (see models.plume)
+fire_step_donated = partial(
+    jax.jit, static_argnames=("params", "cfg"), donate_argnums=(1,)
+)(_fire_step)
 
 
 def run_fire(frames: int, params=None, cfg=None, topo=None, state=None,
@@ -116,7 +122,7 @@ def run_fire(frames: int, params=None, cfg=None, topo=None, state=None,
 
     hier = hierarchy_for(topo, params)
     for f in range(frames):
-        state = fire_step(topo, state, params, cfg, hier)
+        state = fire_step_donated(topo, state, params, cfg, hier)
         if grow_every and (f + 1) % grow_every == 0:
             prev = topo
             topo, state = expand_for_state(

@@ -95,8 +95,7 @@ def emit(topo: Topology, state: FieldState, cfg: PlumeConfig, dt: float) -> Fiel
     return FieldState(velocity=vel, scalars=s)
 
 
-@partial(jax.jit, static_argnames=("params", "cfg"))
-def plume_step(
+def _plume_step(
     topo: Topology,
     state: FieldState,
     params: SolverParams,
@@ -108,6 +107,16 @@ def plume_step(
     the multigrid pressure solver."""
     state = emit(topo, state, cfg, params.dt)
     return step(topo, state, params, hierarchy)
+
+
+plume_step = partial(jax.jit, static_argnames=("params", "cfg"))(_plume_step)
+# frame-loop variant: the input state's buffers are DONATED (the old state
+# is dead the moment the new one exists), halving resident field HBM —
+# at 1024^3 that is the difference between fitting and OOM. Callers must
+# not touch the passed state afterwards.
+plume_step_donated = partial(
+    jax.jit, static_argnames=("params", "cfg"), donate_argnums=(1,)
+)(_plume_step)
 
 
 def run_plume(
@@ -140,7 +149,7 @@ def run_plume(
     for f in range(frames):
         if interrupter is not None and interrupter.was_interrupted():
             break
-        state = plume_step(topo, state, params, cfg, hier)
+        state = plume_step_donated(topo, state, params, cfg, hier)
         if grow_every and (f + 1) % grow_every == 0:
             prev = topo
             topo, state = expand_for_state(

@@ -161,17 +161,23 @@ def _advect_vmem(
     if not fields_are_velocity:
         base += list(fields)
     f_lo = 0 if fields_are_velocity else 3
-    cfl = jnp.max(jnp.abs(vel)) * scaled_dt
+    # per-component maxes (not max(abs(stacked))) so no [3,T,512] |vel|
+    # temp is materialized at 1024^3-class T
+    cfl = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(vel[0])), jnp.max(jnp.abs(vel[1]))),
+        jnp.max(jnp.abs(vel[2])),
+    ) * scaled_dt
     dx = _clamp(-vel[0] * scaled_dt)
     dy = _clamp(-vel[1] * scaled_dt)
     dz = _clamp(-vel[2] * scaled_dt)
 
     def fused(win):
         def run(_):
-            pf, pbk = pb.bfecc_sample_fused(
-                topo, base, dx, dy, dz, scaled_dt, f_lo, sdf, fast, win=win
+            pf, pbk, lo, hi = pb.bfecc_sample_fused(
+                topo, base, dx, dy, dz, scaled_dt, f_lo, sdf, fast, win=win,
+                minmax=True,
             )
-            return jnp.stack(pf), jnp.stack(pbk)
+            return jnp.stack(pf), jnp.stack(pbk), (jnp.stack(lo), jnp.stack(hi))
 
         return run
 
@@ -277,7 +283,7 @@ def _advect_vmem_wide(
         d2z = jnp.where(hit2, dz, d2z)
     lo = 0 if fields_are_velocity else 3
     phis_b = pi2.sample_tables(topo, tables, lo, nb, d2x, d2y, d2z, fast)
-    return jnp.stack(phis_f), jnp.stack(phis_b)
+    return jnp.stack(phis_f), jnp.stack(phis_b), None
 
 
 def _advect_chunked(
@@ -447,12 +453,16 @@ def _advect_chunked(
     F = len(fields)
     pf = jnp.moveaxis(pf, 0, 1).reshape(F, K * C, TILE)
     pb = jnp.moveaxis(pb, 0, 1).reshape(F, K * C, TILE)
-    return pf, pb
+    return pf, pb, None
 
 
 # above this many bytes for the stacked [6, F, T, 512] face views, the
 # clamp switches to the one-direction-at-a-time form (1024^3-class domains)
 CLAMP_VIEWS_BUDGET = 2 * 1024**3
+
+# per-batch budget for the ~4 field-sized BFECC transients each advected
+# scalar keeps live until its clamp (see advect_scalars_fused)
+ADVECT_TRANSIENT_BUDGET = 6 * 1024**3
 
 
 def _minmax_clamp_multi(topo, phi0s, phi_fs, corrs):
@@ -491,13 +501,31 @@ def advect_scalars_fused(
         return {}
     names = sorted(scalars)
     fields = [scalars[n] for n in names]
-    pf, pb = _advect_chunked(
-        topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast
-    )
-    phi0s = jnp.stack(fields)
-    corrs = pf + 0.5 * (phi0s - pb)
-    clamped = _minmax_clamp_multi(topo, phi0s, pf, corrs)
-    return {n: clamped[i] for i, n in enumerate(names)}
+    # At-scale governor: each advected field keeps ~4 field-sized transients
+    # live (phiF, phiB, packed lo|hi) until its clamp completes. Advect +
+    # combine in field batches so only one batch's transients coexist —
+    # at 1024^3 (T~269k, 5 scalars) this is the difference between ~11 GB
+    # and ~4 GB of HLO temps. Small domains take one batch (no-op).
+    per_field = 4 * fields[0].size * 4
+    nbatch = max(1, min(len(fields),
+                        int(ADVECT_TRANSIENT_BUDGET // per_field)))
+    outs: list = []
+    for i in range(0, len(fields), nbatch):
+        sub = fields[i:i + nbatch]
+        pf, pb, lohi = _advect_chunked(
+            topo, vel, sub, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast
+        )
+        phi0s = jnp.stack(sub)
+        corrs = pf + 0.5 * (phi0s - pb)
+        if lohi is not None:
+            # limiter bounds came from the megakernel (in-VMEM face rows):
+            # only the phiF term and the clip remain for XLA
+            clamped = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
+                               jnp.maximum(lohi[1], pf))
+        else:
+            clamped = _minmax_clamp_multi(topo, phi0s, pf, corrs)
+        outs.extend(clamped[j] for j in range(len(sub)))
+    return {n: outs[i] for i, n in enumerate(names)}
 
 
 def advect_scalar(
@@ -531,12 +559,16 @@ def advect_velocity(
     from hnanosolver_tpu.ops import collision as col
 
     fields = [vel[0], vel[1], vel[2]]
-    pf, pb = _advect_chunked(
+    pf, pb, lohi = _advect_chunked(
         topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast,
         fields_are_velocity=True,
     )
     corrs = pf + 0.5 * (vel - pb)
-    out = _minmax_clamp_multi(topo, vel, pf, corrs)
+    if lohi is not None:
+        out = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
+                       jnp.maximum(lohi[1], pf))
+    else:
+        out = _minmax_clamp_multi(topo, vel, pf, corrs)
 
     if sdf is not None:
         # advect_vector's tail: gate at 0.1 but blend with 1 - sdf/1.5

@@ -215,7 +215,50 @@ def _sample_span(G, nf, win, f_lo, f_hi, B, wxT, W, prec):
     return outs
 
 
-def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
+def _face_minmax(G, nf_all, f_lo, nf_out, stbl, out2_ref):
+    """Per-voxel (min, max) over {self, 6 face neighbors} of each advected
+    field's PRE-advection values — the BFECC limiter bounds
+    (`/root/reference/src/Cuda/Kernel.cu:249-261`) — read straight from the
+    27-row scratch table (already in VMEM: the face rows cost no extra HBM
+    traffic, and the VPU work hides under the sampling dots). Packed into
+    ``out2_ref [G, nf_out, 8, 128]``: lanes 0:64 = min, 64:128 = max, in
+    the table's (x-sublane, y*8+z-lane) layout — 128 lanes keeps the HBM
+    array padding-free (a [.., 8, 64] output would pad 2x).
+
+    Face access in the [8, 64] layout mirrors the pressure kernel's
+    512-lane rolls: in-tile values by a (sublane|lane) roll of the center
+    row, boundary planes by a fixed roll of the face-neighbor row. Absent
+    neighbors are the null row (zeros) — the background-0 clamp semantics
+    of the XLA path (ops/shifts.py)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 8, 1), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1, 64), 3)
+    ly, lz = lane // 8, lane % 8
+    # (face d in the dx-major 27-table, roll axis, in-tile shift,
+    #  neighbor-row fix shift, boundary mask)
+    specs = (
+        (22, 2, 7, 7, sub == 7),   # +x
+        (4, 2, 1, 1, sub == 0),    # -x
+        (16, 3, 56, 56, ly == 7),  # +y
+        (10, 3, 8, 8, ly == 0),    # -y
+        (14, 3, 63, 7, lz == 7),   # +z
+        (12, 3, 1, 57, lz == 0),   # -z
+    )
+    for j in range(nf_out):
+        f = f_lo + j
+        c = stbl[:, 13 * nf_all + f : 13 * nf_all + f + 1]  # center row
+        vmin = c
+        vmax = c
+        for d, ax, s_in, s_fix, m in specs:
+            nrow = stbl[:, d * nf_all + f : d * nf_all + f + 1]
+            view = jnp.where(
+                m, pltpu.roll(nrow, s_fix, axis=ax), pltpu.roll(c, s_in, axis=ax)
+            )
+            vmin = jnp.minimum(vmin, view)
+            vmax = jnp.maximum(vmax, view)
+        out2_ref[:, j] = jnp.concatenate([vmin, vmax], axis=3)[:, 0]
+
+
+def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False):
     nf_out = nb - f_lo
     narrow = win == 16
     # NOTE: a full-bf16 data path (table/scratch/weights) was tried for the
@@ -226,7 +269,11 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
     wdt = jnp.float32
     pprec = "strict"
 
-    def kernel(lnbr_ref, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref, *scratch):
+    def kernel(lnbr_ref, dx_ref, dy_ref, dz_ref, tbl_ref, out_ref, *rest):
+        if minmax:
+            out2_ref, *scratch = rest
+        else:
+            scratch = rest
         stbl = scratch[0]
         _assemble_stbl(G, nf_all, lnbr_ref, tbl_ref, stbl)
         if narrow:
@@ -292,26 +339,68 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win):
             out_ref[:, j, :] = back[f_lo + j]
         for j in range(nf_out):
             out_ref[:, nf_out + j, :] = phib[j]
+        if minmax:
+            _face_minmax(G, nf_all, f_lo, nf_out, stbl, out2_ref)
 
     return kernel
 
 
+def _vmem_need(U: int, nf_all: int, G: int, win: int) -> int:
+    """Accurate VMEM requirement for one megakernel invocation: the
+    double-buffered chunk table (lanes 64 -> padded 128), the stbl (+win16
+    wtbl) scratch, double-buffered dx/dy/dz/out G-blocks, and a small
+    fixed slack. Asking for more than needed is harmful: at 1024^3
+    (U=1920, nf=6) the old +32 MB cushion pushed the request to the
+    120 MB clamp and the whole step program over the 128 MB chip budget."""
+    tbl = 2 * U * nf_all * 8 * 128 * 4
+    scratch = 27 * G * nf_all * 8 * 128 * 4
+    if win == 16:
+        scratch += 8 * G * nf_all * 8 * 128 * 4
+    io = 2 * (3 + 2 * nf_all) * G * TILE * 4
+    io += 2 * nf_all * G * 8 * 128 * 4  # minmax output (upper bound)
+    # 10 MB covers Mosaic's own stack/semaphore overhead: measured 1.0 MB
+    # above the sum of declared buffers at U=1920 (1024^3 velocity pass)
+    return tbl + scratch + io + 10 * 1024 * 1024
+
+
+# VMEM budget one megakernel invocation may claim; the balance of the chip's
+# 128 MB is left to whatever XLA schedules alongside inside the same jitted
+# step (observed ~12 MB at 1024^3). Above this, scalars are advected in
+# field BATCHES (velocity repeated per batch for the in-kernel re-trace).
+SAFE_VMEM = 108 * 1024 * 1024
+
+
+def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int) -> int:
+    nf = nf_min
+    while _vmem_need(U, nf + 1, G, win) <= SAFE_VMEM:
+        nf += 1
+    return nf
+
+
 @functools.lru_cache(maxsize=None)
-def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win):
+def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
+           minmax=False):
     G = min(GROUP, C)
     gpc = C // G
     nf_out = nb - f_lo
-    vmem = min(
-        120 * 1024 * 1024,
-        2 * U * nf_all * 8 * 128 * 4
-        + (27 + 8) * G * nf_all * 8 * 128 * 4
-        + 32 * 1024 * 1024,
-    )
+    vmem = min(120 * 1024 * 1024, _vmem_need(U, nf_all, G, win))
     scratch = [pltpu.VMEM((G, 27 * nf_all, 8, 64), jnp.float32)]
     if win == 16:
         scratch.append(pltpu.VMEM((G, 8 * nf_all, 8, 64), jnp.float32))
+    out_specs = pl.BlockSpec(
+        (G, 2 * nf_out, TILE), lambda c, g: (c * gpc + g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((T, 2 * nf_out, TILE), jnp.float32)
+    if minmax:
+        out_specs = [out_specs, pl.BlockSpec(
+            (G, nf_out, 8, 128), lambda c, g: (c * gpc + g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((T, nf_out, 8, 128), jnp.float32)]
     return pl.pallas_call(
-        _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win),
+        _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax),
         grid=(nc, gpc),
         in_specs=[
             pl.BlockSpec((G, 27), lambda c, g: (c * gpc + g, 0),
@@ -325,11 +414,8 @@ def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win):
             pl.BlockSpec((1, U * nf_all, 8, 64), lambda c, g: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (G, 2 * nf_out, TILE), lambda c, g: (c * gpc + g, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((T, 2 * nf_out, TILE), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         interpret=interpret,
@@ -383,11 +469,18 @@ def bfecc_sample_fused(
     interpret=None,
     win: int = 16,
     slices: Optional[int] = None,
-) -> Tuple[List[jax.Array], List[jax.Array]]:
+    minmax: bool = False,
+) -> Tuple[List[jax.Array], ...]:
     """Fused BFECC sampling: returns (phiF list over fields[f_lo:],
     phiB list over fields[f_lo:]). ``fields[0:3]`` MUST be the velocity
     components (used for the in-kernel forward re-trace); for velocity
     self-advection pass f_lo=0, for scalars f_lo=3.
+
+    ``minmax``: additionally return (lo list, hi list) — each field's
+    per-voxel min/max over {self, 6 face neighbors} of the PRE-advection
+    values (the BFECC limiter bounds), computed in-kernel from the rows
+    already resident in VMEM. Replaces the separate XLA clamp gather
+    stage (and its [6, F, T, 512] transient, which OOMs at 1024^3).
 
     ``win``: 24 = full 3x3x3-tile window, valid for any caller-clamped
     displacements; 16 = narrow window, requires sdt*max|u| < CFL_LIMIT.
@@ -408,17 +501,51 @@ def bfecc_sample_fused(
     nc, U = topo.chunk_uniq.shape
     C = T // nc
     nf_out = nb - f_lo
+
+    # VMEM governor: when the chunk table for all fields at once would not
+    # fit (large-U topologies, e.g. 1024^3 at U=1920), advect the scalars in
+    # batches, repeating the velocity (and sdf) operands per batch. Only the
+    # scalar pass (f_lo == 3) can split; the velocity pass is always small.
+    nf_fixed = 3 + (1 if sdf is not None else 0)
+    if f_lo == 3 and nf_out > 1 and _vmem_need(
+        U, nf_all, min(GROUP, C), int(win)
+    ) > SAFE_VMEM:
+        per = max(1, _max_fields_for_vmem(U, min(GROUP, C), int(win),
+                                          nf_fixed) - nf_fixed)
+        parts: Tuple[List[jax.Array], ...] = ([], [], [], [])
+        for lo in range(3, nb, per):
+            batch = list(fields[:3]) + list(fields[lo:lo + per])
+            res = bfecc_sample_fused(
+                topo, batch, dx, dy, dz, sdt, 3, sdf=sdf, prec=prec,
+                interpret=interpret, win=win, slices=slices, minmax=minmax)
+            for acc, part in zip(parts, res):
+                acc += part
+        return parts[:len(res)]
+
     if slices is None:
         slices = _pick_slices(nc, U, nf_all)
-    if slices <= 1:
-        tbl = build_table(topo, all_fields)
-        fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None,
-                    float(sdt), bool(interpret), prec, int(win))
-        out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
-        return (
+    def unpack(out, out2):
+        res = (
             [out[:, j, :] for j in range(nf_out)],
             [out[:, nf_out + j, :] for j in range(nf_out)],
         )
+        if not minmax:
+            return res
+        lo = out2[:, :, :, :64].reshape(out2.shape[0], nf_out, TILE)
+        hi = out2[:, :, :, 64:].reshape(out2.shape[0], nf_out, TILE)
+        return res + (
+            [lo[:, j, :] for j in range(nf_out)],
+            [hi[:, j, :] for j in range(nf_out)],
+        )
+
+    if slices <= 1:
+        tbl = build_table(topo, all_fields)
+        fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None,
+                    float(sdt), bool(interpret), prec, int(win),
+                    minmax)
+        out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
+        out, out2 = out if minmax else (out, None)
+        return unpack(out, out2)
 
     ncs = -(-nc // slices)  # chunks per slice; tail-padded with null chunks
     pad = slices * ncs - nc
@@ -431,7 +558,7 @@ def bfecc_sample_fused(
         return jnp.concatenate([a, z], axis=0)
 
     fn = _build(ncs, U, C, Ts, nf_all, nb, f_lo, sdf is not None,
-                float(sdt), bool(interpret), prec, int(win))
+                float(sdt), bool(interpret), prec, int(win), minmax)
     xs = (
         padc(topo.chunk_uniq, 1, (U,)).reshape(slices, ncs * U),
         padc(topo.chunk_lnbr, C, (27,)).reshape(slices, Ts, 27),
@@ -451,9 +578,11 @@ def bfecc_sample_fused(
         tbl = cols.reshape(ncs, U * nf_all, 8, 64)
         return carry, fn(ln, dxs, dys, dzs, tbl)
 
-    _, outs = jax.lax.scan(body, 0, xs)  # [slices, Ts, 2*nf_out, 512]
+    _, outs = jax.lax.scan(body, 0, xs)
+    if minmax:
+        outs, outs2 = outs
+        out2 = outs2.reshape(slices * Ts, nf_out, 8, 128)[:T]
+    else:
+        out2 = None
     out = outs.reshape(slices * Ts, 2 * nf_out, 512)[:T]
-    return (
-        [out[:, j, :] for j in range(nf_out)],
-        [out[:, nf_out + j, :] for j in range(nf_out)],
-    )
+    return unpack(out, out2)

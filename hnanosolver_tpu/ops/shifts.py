@@ -60,11 +60,23 @@ def shifted_views(topo: Topology, f: jax.Array, dirs=FACE_DIRS):
     return {off: shifted_view(topo, f, off) for off in dirs}
 
 
+# above this many bytes of [6, T, 512] stacked views, neighbor_sum
+# accumulates one direction at a time (1024^3-class domains)
+NBRSUM_VIEWS_BUDGET = 2 * 1024**3
+
+
 def neighbor_sum(topo: Topology, f: jax.Array) -> jax.Array:
     """Sum of the six face neighbors (7-point stencil helper). One row
     gather for all six directions; the left-associated add order matches
     the old per-direction formulation bit-exactly (tests compare the XLA
-    and Pallas pressure paths at 0 ulp)."""
+    and Pallas pressure paths at 0 ulp). At-scale domains accumulate
+    per direction (same order, bit-exact) to cap the transient."""
+    if 6 * f.size * 4 > NBRSUM_VIEWS_BUDGET:
+        acc = None
+        for off in FACE_DIRS:
+            v = shifted_view(topo, f, off)
+            acc = v if acc is None else acc + v
+        return acc
     v = face_views_multi(topo, f[None])[:, 0]
     return v[0] + v[1] + v[2] + v[3] + v[4] + v[5]
 

@@ -174,6 +174,15 @@ def step(
     return step_impl(topo, state, params, hierarchy)
 
 
+# frame-loop variant: DONATES the input state's buffers (the old state is
+# dead once the new one exists), halving resident field HBM — at
+# 1024^3-class domains this is the difference between fitting and OOM.
+# Do not touch the passed state after calling (models.run_* use this).
+step_donated = partial(
+    jax.jit, static_argnames=("params",), donate_argnums=(1,)
+)(step_impl)
+
+
 # ---------------------------------------------------------------------------
 # Standalone operator entry points — the other four SOP nodes.
 # ---------------------------------------------------------------------------

@@ -154,8 +154,8 @@ def test_advect_vmem_cond_dispatch():
     fields = _rand_fields(rng, T, 2)
     for scale in (0.4, 9.0):  # CFL ~0.4 (narrow) and ~9 (wide fallback)
         v = vel_arr * scale
-        pf_n, pb_n = adv._advect_vmem(topo, v, fields, 1.0, None)
-        pf_w, pb_w = adv._advect_vmem_wide(topo, v, fields, 1.0, None)
+        pf_n, pb_n, _ = adv._advect_vmem(topo, v, fields, 1.0, None)
+        pf_w, pb_w, _ = adv._advect_vmem_wide(topo, v, fields, 1.0, None)
         assert float(jnp.max(jnp.abs(pf_n - pf_w))) < ATOL
         assert float(jnp.max(jnp.abs(pb_n - pb_w))) < ATOL
 
@@ -183,3 +183,97 @@ def test_sliced_call_is_bit_identical():
                                win=16, slices=3)
     for x, y in zip(a1[0] + a1[1], a3[0] + a3[1]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("f_lo,sparse", [(3, True), (0, True), (3, False)])
+def test_minmax_limiter_bounds(f_lo, sparse):
+    """minmax=True returns each field's per-voxel (min, max) over
+    {self, 6 face neighbors} of the pre-advection values — must equal the
+    XLA clamp stage's bounds (shifts.face_minmax_multi + self), including
+    background-0 contributions at topology boundaries (sparse case)."""
+    from hnanosolver_tpu.ops import shifts as sh
+
+    rng = np.random.default_rng(11)
+    topo = _sparse_topo(rng) if sparse else build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel = _rand_fields(rng, T, 3)
+    fields = vel + (_rand_fields(rng, T, 2) if f_lo == 3 else [])
+    sdt = 0.3
+    dx = jnp.clip(-vel[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-vel[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-vel[2] * sdt, -1.8, 1.8)
+    pf, pbk, lo, hi = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, f_lo, None, "strict", interpret=True,
+        minmax=True,
+    )
+    phi0s = jnp.stack(fields[f_lo:])
+    mins, maxs = sh.face_minmax_multi(topo, phi0s)
+    want_lo = jnp.minimum(phi0s, mins)
+    want_hi = jnp.maximum(phi0s, maxs)
+    mask = jnp.asarray(np.arange(T) < int(topo.n_active))[:, None]
+    for i in range(len(lo)):
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(mask, lo[i], 0.0)),
+            np.asarray(jnp.where(mask, want_lo[i], 0.0)))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(mask, hi[i], 0.0)),
+            np.asarray(jnp.where(mask, want_hi[i], 0.0)))
+
+
+def test_minmax_sliced_matches_unsliced():
+    rng = np.random.default_rng(12)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    vel = _rand_fields(rng, T, 3)
+    fields = vel + _rand_fields(rng, T, 2)
+    d = [jnp.clip(-v * 0.3, -1.8, 1.8) for v in vel]
+    a1 = pb.bfecc_sample_fused(topo, fields, *d, 0.3, 3, None, "strict",
+                               interpret=True, win=16, slices=1, minmax=True)
+    a3 = pb.bfecc_sample_fused(topo, fields, *d, 0.3, 3, None, "strict",
+                               interpret=True, win=16, slices=3, minmax=True)
+    assert len(a1) == 4 and len(a3) == 4
+    for part1, part3 in zip(a1, a3):
+        for x, y in zip(part1, part3):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_scalar_batch_governor_matches_unbatched(monkeypatch):
+    """advect_scalars_fused at-scale governor: forcing the transient budget
+    to one field's worth advects+clamps in per-field batches — same results
+    to f32 rounding (bit-exactness across batch sizes is a Pallas-path
+    property, covered by test_field_batched_matches_unbatched; the XLA
+    fallback path fuses FMAs differently for different field counts)."""
+    rng = np.random.default_rng(13)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel = jnp.stack(_rand_fields(rng, T, 3))
+    scalars = {n: f for n, f in zip("abc", _rand_fields(rng, T, 3))}
+    out0 = adv.advect_scalars_fused(topo, vel, scalars, 0.04, 1.0)
+    monkeypatch.setattr(adv, "ADVECT_TRANSIENT_BUDGET", 4 * T * 512 * 4)
+    out1 = adv.advect_scalars_fused(topo, vel, scalars, 0.04, 1.0)
+    for n in scalars:
+        assert float(jnp.max(jnp.abs(out0[n] - out1[n]))) < ATOL
+
+
+def test_field_batched_matches_unbatched(monkeypatch):
+    """VMEM governor: forcing SAFE_VMEM low makes the scalar pass split into
+    field batches (velocity repeated per batch) — bit-identical outputs."""
+    rng = np.random.default_rng(7)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel = _rand_fields(rng, T, 3)
+    fields = vel + _rand_fields(rng, T, 3)
+    sdt = 0.3
+    dx = jnp.clip(-vel[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-vel[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-vel[2] * sdt, -1.8, 1.8)
+    f0, b0 = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True)
+    nc, U = topo.chunk_uniq.shape
+    # budget that fits vel+1 scalar but not vel+3
+    monkeypatch.setattr(pb, "SAFE_VMEM", pb._vmem_need(U, 4, 8, 16))
+    f1, b1 = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True)
+    assert len(f1) == 3 and len(b1) == 3
+    for a, b in zip(f0 + b0, f1 + b1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -104,3 +104,34 @@ def test_cli_advect_foreign_fixture(tmp_path):
     )  # mass moved
     assert g1["values"].max() <= g0["values"].max() + 1e-5
     assert g1["values"].max() > 0.0
+
+
+@pytest.mark.slow
+def test_cli_collide_smoke(tmp_path):
+    """`cli collide` (BASELINE config 4): two frames with a tiny moving
+    sphere, checkpoint written and loadable, collider actually moved."""
+    out = str(tmp_path / "col")
+    cli.main([
+        "collide", "--frames", "2", "--ckpt-every", "2", "--out", out,
+        "--center", "24", "8", "24", "--radius", "6",
+        "--collider-center", "14", "20", "24",
+        "--collider-velocity", "24", "0", "0", "--collider-radius", "5",
+        "--iterations", "6",
+    ])
+    import glob
+    import os
+
+    ckpts = sorted(glob.glob(os.path.join(out, "frame_*.npz")))
+    assert ckpts, "collide wrote no checkpoint"
+    from hnanosolver_tpu.io.state import load_npz
+
+    topo, state, _, _ = load_npz(ckpts[-1])
+    sdf = np.asarray(state.scalars["collision_sdf"])
+    # the frame-2 SDF zero-crossing sits at the ADVANCED center, not center0
+    from hnanosolver_tpu.models.collider import ColliderConfig, collider_center
+
+    col = ColliderConfig(center0=(14.0, 20.0, 24.0), velocity=(24.0, 0.0, 0.0),
+                         radius=5.0)
+    c2 = np.asarray(collider_center(col, 1, 1.0 / 24.0))
+    assert c2[0] > 14.0  # it moved
+    assert (sdf < 0).any()  # solid interior present in the active set
