@@ -161,15 +161,18 @@ def _advect_vmem(
     if not fields_are_velocity:
         base += list(fields)
     f_lo = 0 if fields_are_velocity else 3
-    # per-component maxes (not max(abs(stacked))) so no [3,T,512] |vel|
-    # temp is materialized at 1024^3-class T
-    cfl = jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(vel[0])), jnp.max(jnp.abs(vel[1]))),
-        jnp.max(jnp.abs(vel[2])),
-    ) * scaled_dt
     dx = _clamp(-vel[0] * scaled_dt)
     dy = _clamp(-vel[1] * scaled_dt)
     dz = _clamp(-vel[2] * scaled_dt)
+    # The narrow/wide switch needs sdt*max|u|. Read it off the CLAMPED
+    # displacements as max(max(d), -min(d)) — plain reduces over arrays the
+    # cond consumes anyway, so no |vel| elementwise temp is ever
+    # materialized (at 1024^3 each such temp is 526 MB). Equivalent:
+    # CFL_LIMIT < DISP_LIMIT, so the clamp can't mask a narrow-window pass.
+    def _amax(a):
+        return jnp.maximum(jnp.max(a), -jnp.min(a))
+
+    cfl = jnp.maximum(jnp.maximum(_amax(dx), _amax(dy)), _amax(dz))
 
     def fused(win):
         def run(_):
@@ -461,8 +464,10 @@ def _advect_chunked(
 CLAMP_VIEWS_BUDGET = 2 * 1024**3
 
 # per-batch budget for the ~4 field-sized BFECC transients each advected
-# scalar keeps live until its clamp (see advect_scalars_fused)
-ADVECT_TRANSIENT_BUDGET = 6 * 1024**3
+# scalar keeps live until its clamp (see advect_scalars_fused); sized so
+# a 1024^3-class domain (~2 GB per field-transient set) runs one scalar
+# per batch while bench-class domains stay single-batch
+ADVECT_TRANSIENT_BUDGET = 3 * 1024**3
 
 
 def _minmax_clamp_multi(topo, phi0s, phi_fs, corrs):
@@ -558,17 +563,39 @@ def advect_velocity(
     reference's near-boundary no-slip tail (Kernel.cu:354-453)."""
     from hnanosolver_tpu.ops import collision as col
 
-    fields = [vel[0], vel[1], vel[2]]
-    pf, pb, lohi = _advect_chunked(
-        topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast,
-        fields_are_velocity=True,
-    )
-    corrs = pf + 0.5 * (vel - pb)
-    if lohi is not None:
-        out = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
-                       jnp.maximum(lohi[1], pf))
+    if 3 * 4 * vel[0].size * 4 > ADVECT_TRANSIENT_BUDGET:
+        # At-scale governor (see advect_scalars_fused): advect one component
+        # per pass — as a scalars-mode field, since the in-kernel re-trace
+        # still needs all three components sampled at the back position —
+        # so only one component's phiF/phiB/limiter transients are live.
+        # Sampling math is identical (the component's dot rows use the same
+        # operands either way); costs two extra back-pass fields per call.
+        comps = []
+        for j in range(3):
+            pf, pb, lohi = _advect_chunked(
+                topo, vel, [vel[j]], dt * inv_dx, sdf, chunk, trace_order,
+                INTERP, fast,
+            )
+            corrs = pf + 0.5 * (vel[j][None] - pb)
+            if lohi is not None:
+                o = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
+                             jnp.maximum(lohi[1], pf))
+            else:
+                o = _minmax_clamp_multi(topo, vel[j][None], pf, corrs)
+            comps.append(o[0])
+        out = jnp.stack(comps)
     else:
-        out = _minmax_clamp_multi(topo, vel, pf, corrs)
+        fields = [vel[0], vel[1], vel[2]]
+        pf, pb, lohi = _advect_chunked(
+            topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP,
+            fast, fields_are_velocity=True,
+        )
+        corrs = pf + 0.5 * (vel - pb)
+        if lohi is not None:
+            out = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
+                           jnp.maximum(lohi[1], pf))
+        else:
+            out = _minmax_clamp_multi(topo, vel, pf, corrs)
 
     if sdf is not None:
         # advect_vector's tail: gate at 0.1 but blend with 1 - sdf/1.5

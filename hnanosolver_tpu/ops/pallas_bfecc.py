@@ -547,42 +547,53 @@ def bfecc_sample_fused(
         out, out2 = out if minmax else (out, None)
         return unpack(out, out2)
 
-    ncs = -(-nc // slices)  # chunks per slice; tail-padded with null chunks
-    pad = slices * ncs - nc
-    Ts = ncs * C
+    # Chunks run in sequential slices (the table-memory governor) as a
+    # lax.scan over FULL slices of ncs chunks plus one direct call on the
+    # remainder — contiguous-prefix reshapes only, NO tail padding: the old
+    # pad-to-multiple form concatenated full-size zero-padded copies of
+    # dx/dy/dz/lnbr (~1.7 GB of HLO temps at 1024^3).
+    ncs = -(-nc // slices)  # chunks per full slice
+    full = nc // ncs
+    rem = nc - full * ncs
 
-    def padc(a, rows_per_chunk, shape_tail):
-        if not pad:
-            return a
-        z = jnp.zeros((pad * rows_per_chunk,) + shape_tail, a.dtype)
-        return jnp.concatenate([a, z], axis=0)
-
-    fn = _build(ncs, U, C, Ts, nf_all, nb, f_lo, sdf is not None,
-                float(sdt), bool(interpret), prec, int(win), minmax)
-    xs = (
-        padc(topo.chunk_uniq, 1, (U,)).reshape(slices, ncs * U),
-        padc(topo.chunk_lnbr, C, (27,)).reshape(slices, Ts, 27),
-        padc(dx, C, (512,)).reshape(slices, Ts, 512),
-        padc(dy, C, (512,)).reshape(slices, Ts, 512),
-        padc(dz, C, (512,)).reshape(slices, Ts, 512),
-    )
-
-    def body(carry, x):
-        uq, ln, dxs, dys, dzs = x
+    def run(ncall, uq, ln, dxs, dys, dzs):
         # per-field gathers (vs the unsliced path's packed pre-gather copy):
         # nf-fold more descriptors over 1/slices of the rows, but no
         # [T, nf*512] resident copy — at 1024^3 that copy alone is ~4.4 GB
         # held across every slice
+        fn = _build(ncall, U, C, ncall * C, nf_all, nb, f_lo, sdf is not None,
+                    float(sdt), bool(interpret), prec, int(win), minmax)
         cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],
-                         axis=1)  # [ncs*U, nf, 512]
-        tbl = cols.reshape(ncs, U * nf_all, 8, 64)
-        return carry, fn(ln, dxs, dys, dzs, tbl)
+                         axis=1)  # [ncall*U, nf, 512]
+        tbl = cols.reshape(ncall, U * nf_all, 8, 64)
+        return fn(ln, dxs, dys, dzs, tbl)
+
+    rows = full * ncs * C
+    xs = (
+        topo.chunk_uniq[: full * ncs].reshape(full, ncs * U),
+        topo.chunk_lnbr[:rows].reshape(full, ncs * C, 27),
+        dx[:rows].reshape(full, ncs * C, TILE),
+        dy[:rows].reshape(full, ncs * C, TILE),
+        dz[:rows].reshape(full, ncs * C, TILE),
+    )
+
+    def body(carry, x):
+        return carry, run(ncs, *x)
 
     _, outs = jax.lax.scan(body, 0, xs)
+    tail = (
+        run(rem, topo.chunk_uniq[full * ncs :].reshape(rem * U),
+            topo.chunk_lnbr[rows:], dx[rows:], dy[rows:], dz[rows:])
+        if rem else None
+    )
     if minmax:
         outs, outs2 = outs
-        out2 = outs2.reshape(slices * Ts, nf_out, 8, 128)[:T]
+        out2 = outs2.reshape(rows, nf_out, 8, 128)
+        if rem:
+            out2 = jnp.concatenate([out2, tail[1]], axis=0)
     else:
         out2 = None
-    out = outs.reshape(slices * Ts, 2 * nf_out, 512)[:T]
+    out = outs.reshape(rows, 2 * nf_out, 512)
+    if rem:
+        out = jnp.concatenate([out, tail[0] if minmax else tail], axis=0)
     return unpack(out, out2)

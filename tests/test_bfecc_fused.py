@@ -255,6 +255,20 @@ def test_scalar_batch_governor_matches_unbatched(monkeypatch):
         assert float(jnp.max(jnp.abs(out0[n] - out1[n]))) < ATOL
 
 
+def test_velocity_per_component_matches(monkeypatch):
+    """advect_velocity at-scale governor: per-component passes (each
+    component advected as a scalars-mode field) match the one-call
+    self-advection path to f32 rounding."""
+    rng = np.random.default_rng(14)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel = jnp.stack(_rand_fields(rng, T, 3))
+    out0 = adv.advect_velocity(topo, vel, 0.04, 1.0)
+    monkeypatch.setattr(adv, "ADVECT_TRANSIENT_BUDGET", 4 * T * 512 * 4)
+    out1 = adv.advect_velocity(topo, vel, 0.04, 1.0)
+    assert float(jnp.max(jnp.abs(out0 - out1))) < ATOL
+
+
 def test_field_batched_matches_unbatched(monkeypatch):
     """VMEM governor: forcing SAFE_VMEM low makes the scalar pass split into
     field batches (velocity repeated per batch) — bit-identical outputs."""
