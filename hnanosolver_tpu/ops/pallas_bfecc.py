@@ -86,7 +86,10 @@ def _assemble_stbl(G: int, nf: int, lnbr_ref, tbl_ref, stbl):
     def asm(i, carry):
         g = i // 27
         d = i % 27
-        stbl[g, pl.ds(d * nf, nf)] = tbl_ref[0, pl.ds(lnbr_ref[g, d] * nf, nf)]
+        row = tbl_ref[0, pl.ds(lnbr_ref[g, d] * nf, nf)]
+        if row.shape[-1] == 128:  # HBM-DMA form: lanes padded for the copy
+            row = row[..., :64]
+        stbl[g, pl.ds(d * nf, nf)] = row
         return carry
 
     jax.lax.fori_loop(0, G * 27, asm, 0)
@@ -258,7 +261,8 @@ def _face_minmax(G, nf_all, f_lo, nf_out, stbl, out2_ref):
         out2_ref[:, j] = jnp.concatenate([vmin, vmax], axis=3)[:, 0]
 
 
-def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False):
+def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False,
+                 hbm=False):
     nf_out = nb - f_lo
     narrow = win == 16
     # NOTE: a full-bf16 data path (table/scratch/weights) was tried for the
@@ -275,7 +279,26 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False):
         else:
             scratch = rest
         stbl = scratch[0]
-        _assemble_stbl(G, nf_all, lnbr_ref, tbl_ref, stbl)
+        if hbm:
+            # Chunk table lives in HBM (memory_space=ANY); one DMA per chunk
+            # brings its U*nf rows into a SINGLE-buffered VMEM scratch that
+            # persists across the chunk's gpc grid steps. Vs the block-spec
+            # form (whole table block double-buffered by the pipeline) this
+            # halves the dominant VMEM term — the bench-size kernel hit the
+            # ~102 MB scoped-vmem ceiling once the in-kernel limiter buffers
+            # landed, and at 1024^3 it lets all fields advect in one pass.
+            ctbl, sem = scratch[-2], scratch[-1]
+            c = pl.program_id(0)
+
+            @pl.when(pl.program_id(1) == 0)
+            def _load_chunk():
+                cp = pltpu.make_async_copy(tbl_ref.at[c], ctbl.at[0], sem)
+                cp.start()
+                cp.wait()
+
+            _assemble_stbl(G, nf_all, lnbr_ref, ctbl, stbl)
+        else:
+            _assemble_stbl(G, nf_all, lnbr_ref, tbl_ref, stbl)
         if narrow:
             wtbl = scratch[1]
             _combine_window16(nf_all, stbl, wtbl)
@@ -345,14 +368,16 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False):
     return kernel
 
 
-def _vmem_need(U: int, nf_all: int, G: int, win: int) -> int:
-    """Accurate VMEM requirement for one megakernel invocation: the
-    double-buffered chunk table (lanes 64 -> padded 128), the stbl (+win16
-    wtbl) scratch, double-buffered dx/dy/dz/out G-blocks, and a small
-    fixed slack. Asking for more than needed is harmful: at 1024^3
-    (U=1920, nf=6) the old +32 MB cushion pushed the request to the
-    120 MB clamp and the whole step program over the 128 MB chip budget."""
-    tbl = 2 * U * nf_all * 8 * 128 * 4
+def _vmem_need(U: int, nf_all: int, G: int, win: int,
+               hbm: bool = False) -> int:
+    """Accurate VMEM requirement for one megakernel invocation: the chunk
+    table (double-buffered block form, or single-buffered DMA scratch when
+    ``hbm``; lanes 64 -> padded 128), the stbl (+win16 wtbl) scratch,
+    double-buffered dx/dy/dz/out G-blocks, and a small fixed slack. Asking
+    for more than needed is harmful: at 1024^3 (U=1920, nf=6) the old
+    +32 MB cushion pushed the request to the 120 MB clamp and the whole
+    step program over the 128 MB chip budget."""
+    tbl = (1 if hbm else 2) * U * nf_all * 8 * 128 * 4
     scratch = 27 * G * nf_all * 8 * 128 * 4
     if win == 16:
         scratch += 8 * G * nf_all * 8 * 128 * 4
@@ -363,30 +388,48 @@ def _vmem_need(U: int, nf_all: int, G: int, win: int) -> int:
     return tbl + scratch + io + 10 * 1024 * 1024
 
 
-# VMEM budget one megakernel invocation may claim; the balance of the chip's
-# 128 MB is left to whatever XLA schedules alongside inside the same jitted
+# VMEM budget one megakernel invocation may claim. The enforced scoped-vmem
+# ceiling on v5e measured ~101.8 MB (the chip's 128 MB less the runtime's
+# reserve), and XLA schedules its own ops alongside inside the same jitted
 # step (observed ~12 MB at 1024^3). Above this, scalars are advected in
-# field BATCHES (velocity repeated per batch for the in-kernel re-trace).
-SAFE_VMEM = 108 * 1024 * 1024
+# field BATCHES (velocity repeated per batch for the in-kernel re-trace) —
+# with the HBM-table DMA form this triggers only at extreme U*nf.
+SAFE_VMEM = 96 * 1024 * 1024
 
 
-def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int) -> int:
+def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int,
+                         hbm: bool = False) -> int:
     nf = nf_min
-    while _vmem_need(U, nf + 1, G, win) <= SAFE_VMEM:
+    while _vmem_need(U, nf + 1, G, win, hbm) <= SAFE_VMEM:
         nf += 1
     return nf
 
 
 @functools.lru_cache(maxsize=None)
 def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
-           minmax=False):
+           minmax=False, hbm=False):
     G = min(GROUP, C)
     gpc = C // G
     nf_out = nb - f_lo
-    vmem = min(120 * 1024 * 1024, _vmem_need(U, nf_all, G, win))
+    # The compiler carves its scoped stack (kernel register temps: W/B
+    # operands, t1, bcache spans — ~6 MB measured at bench size) out of
+    # vmem_limit_bytes AFTER the declared buffers; request headroom above
+    # the buffer estimate or the stack allocation trips the scoped limit.
+    vmem = min(120 * 1024 * 1024,
+               _vmem_need(U, nf_all, G, win, hbm) + 16 * 1024 * 1024)
     scratch = [pltpu.VMEM((G, 27 * nf_all, 8, 64), jnp.float32)]
     if win == 16:
         scratch.append(pltpu.VMEM((G, 8 * nf_all, 8, 64), jnp.float32))
+    if hbm:
+        # DMA slices must be 128-lane aligned: the HBM table (and its VMEM
+        # scratch) carry a 64-lane pad the assembly reads slice back off.
+        scratch += [pltpu.VMEM((1, U * nf_all, 8, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA]
+        tbl_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        tbl_spec = pl.BlockSpec((1, U * nf_all, 8, 64),
+                                lambda c, g: (c, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     out_specs = pl.BlockSpec(
         (G, 2 * nf_out, TILE), lambda c, g: (c * gpc + g, 0, 0),
         memory_space=pltpu.VMEM,
@@ -400,7 +443,8 @@ def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((T, nf_out, 8, 128), jnp.float32)]
     return pl.pallas_call(
-        _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax),
+        _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax,
+                     hbm),
         grid=(nc, gpc),
         in_specs=[
             pl.BlockSpec((G, 27), lambda c, g: (c * gpc + g, 0),
@@ -411,8 +455,7 @@ def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, TILE), lambda c, g: (c * gpc + g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U * nf_all, 8, 64), lambda c, g: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tbl_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -438,6 +481,13 @@ def build_table(topo, fields: Sequence[jax.Array], dtype=jnp.float32) -> jax.Arr
     nc, U = topo.chunk_uniq.shape
     tbl = jnp.take(packed, topo.chunk_uniq.reshape(-1), axis=0)
     return tbl.reshape(nc, U * nf, 8, 64)
+
+
+# Chunk-table residency: True = HBM table + in-kernel per-chunk DMA,
+# False = VMEM block specs (double-buffered), None = auto (HBM on real
+# TPU; interpret mode keeps the block form — it doesn't model DMA
+# semaphores). Override for A/B probes only.
+HBM_TBL: Optional[bool] = None
 
 
 # Table-memory governor: the gathered unique-row table is ~1.5-2x the
@@ -506,12 +556,13 @@ def bfecc_sample_fused(
     # fit (large-U topologies, e.g. 1024^3 at U=1920), advect the scalars in
     # batches, repeating the velocity (and sdf) operands per batch. Only the
     # scalar pass (f_lo == 3) can split; the velocity pass is always small.
+    hbm = (not interpret) if HBM_TBL is None else bool(HBM_TBL)
     nf_fixed = 3 + (1 if sdf is not None else 0)
     if f_lo == 3 and nf_out > 1 and _vmem_need(
-        U, nf_all, min(GROUP, C), int(win)
+        U, nf_all, min(GROUP, C), int(win), hbm
     ) > SAFE_VMEM:
         per = max(1, _max_fields_for_vmem(U, min(GROUP, C), int(win),
-                                          nf_fixed) - nf_fixed)
+                                          nf_fixed, hbm) - nf_fixed)
         parts: Tuple[List[jax.Array], ...] = ([], [], [], [])
         for lo in range(3, nb, per):
             batch = list(fields[:3]) + list(fields[lo:lo + per])
@@ -540,9 +591,11 @@ def bfecc_sample_fused(
 
     if slices <= 1:
         tbl = build_table(topo, all_fields)
+        if hbm:
+            tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, 0), (0, 64)))
         fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None,
                     float(sdt), bool(interpret), prec, int(win),
-                    minmax)
+                    minmax, hbm)
         out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
         out, out2 = out if minmax else (out, None)
         return unpack(out, out2)
@@ -562,10 +615,12 @@ def bfecc_sample_fused(
         # [T, nf*512] resident copy — at 1024^3 that copy alone is ~4.4 GB
         # held across every slice
         fn = _build(ncall, U, C, ncall * C, nf_all, nb, f_lo, sdf is not None,
-                    float(sdt), bool(interpret), prec, int(win), minmax)
+                    float(sdt), bool(interpret), prec, int(win), minmax, hbm)
         cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],
                          axis=1)  # [ncall*U, nf, 512]
         tbl = cols.reshape(ncall, U * nf_all, 8, 64)
+        if hbm:
+            tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, 0), (0, 64)))
         return fn(ln, dxs, dys, dzs, tbl)
 
     rows = full * ncs * C
