@@ -69,6 +69,10 @@ def phase_functions(topo, state, params) -> List[Tuple[str, Callable, object]]:
     inv_dx = params.inv_voxel_size
     dt = params.dt
     c = params.combustion
+    # same tier mapping as solver.step_impl
+    fast = {"parity": "strict", "balanced": "balanced", "fast": "fast"}.get(
+        params.precision, "strict"
+    )
     vel = state.velocity
     scal = {k: v for k, v in state.scalars.items() if k != "collision_sdf"}
     div0 = stn.divergence(topo, vel, inv_dx)
@@ -77,7 +81,7 @@ def phase_functions(topo, state, params) -> List[Tuple[str, Callable, object]]:
 
     phases.append((
         "advect_velocity (BFECC)",
-        lambda v: adv.advect_velocity(topo, v, dt, inv_dx, None),
+        lambda v: adv.advect_velocity(topo, v, dt, inv_dx, None, fast=fast),
         vel,
     ))
     phases.append((
@@ -124,7 +128,8 @@ def phase_functions(topo, state, params) -> List[Tuple[str, Callable, object]]:
 
     def adv_scal(s):
         outs = adv.advect_scalars_fused(
-            topo, vel, {k: s[i] for i, k in enumerate(names)}, dt, inv_dx, None
+            topo, vel, {k: s[i] for i, k in enumerate(names)}, dt, inv_dx,
+            None, fast=fast
         )
         return jnp.stack([outs[k] for k in names])
 
