@@ -38,9 +38,11 @@ def _add_solver_args(p: argparse.ArgumentParser):
     p.add_argument("--vorticity", type=float, default=1.0)
     p.add_argument("--factor-scale", type=float, default=0.5)
     p.add_argument("--precision", choices=["parity", "balanced", "fast"],
-                   default="parity",
-                   help="sampling-dot tier: parity = true f32, balanced = "
-                        "bf16x3 (~1e-5 rel, ~2x faster), fast = bf16")
+                   default="balanced",
+                   help="sampling-dot tier: balanced (default) = bf16x3 "
+                        "(1.5e-5 rel/step, inside the 1e-4 reference-parity "
+                        "tier), parity = true f32 (validation), fast = "
+                        "single bf16 pass (preview)")
     p.add_argument("--padding", type=int, default=None,
                    help="domain dilation in VOXELS (the reference SOP's "
                         "padding param); default: 1 tile ring")

@@ -51,7 +51,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hnanosolver_tpu.core.layout import TILE
 
-GROUP = 8  # tiles per program
+# Tiles per program (per grid step), narrow-window scalar pass. 32
+# measured 1.86x faster than 8 on the whole bench step (probe r3/043,
+# interleaved same-window: 38.1 vs 70.8 ms; bit-identical outputs):
+# fewer grid steps amortize the per-step fixed costs (pipeline fill,
+# assembly loop, weight build issue latency) over 4x the tiles. 16 was
+# NOT monotonic (slower than 8 in one window) — the win appears at 32.
+# At G=32 the scalars pass runs in field batches (the VMEM governor
+# splits it; bit-exact), which is part of the measured-fast config.
+GROUP = 32
+# The velocity pass (f_lo == 0, nf=3) gets its own group size: its small
+# field count leaves VMEM room but its per-pass stack (W operand + limb
+# splits + t1) still scales with G — see _stack_need. 16 keeps the
+# request under ~90 MB. Override for A/B probes only.
+GROUP_VEL = 16
+# The wide 24-window branch compiles into the SAME lax.cond as the
+# narrow one (both branches must fit even when only narrow runs), and
+# its W operand is (24/16)^4 = 5x the narrow stack per tile — G=32
+# blew the scoped limit by 29 MB at bench size (server log r3/048).
+# Keep the round-2 group here; the wide branch is the slow-flow escape
+# hatch, not the hot path.
+GROUP_WIDE = 8
+
+
+def _group_cap(f_lo: int, win: int) -> int:
+    """Tiles-per-program cap for a (pass, window) pair — the G knob is
+    pure perf/VMEM (outputs are bit-identical across G)."""
+    if win == 24:
+        return GROUP_WIDE
+    return GROUP_VEL if f_lo == 0 else GROUP
 # narrow path is valid when sdt*max|u| stays under this (|d2| <= 2*CFL < 4);
 # 1.9 leaves 0.1 voxel of slack under the hard 2.0 bound
 CFL_LIMIT = 1.9
@@ -397,10 +425,32 @@ def _vmem_need(U: int, nf_all: int, G: int, win: int,
 SAFE_VMEM = 96 * 1024 * 1024
 
 
+def _stack_need(G: int, win: int, nf_out: int, prec: str) -> int:
+    """Scoped-stack bytes Mosaic must schedule ABOVE the declared buffers:
+    the weight operand W [G, (win//8)^2*64, 512] f32 (+ bf16 limb copies in
+    the balanced/fast tiers), the per-span dot output t1, the bcache'd
+    stationary operands (field span + SDF span), wxT for both passes, and
+    ~half a W of hat/repeat intermediates. Validated against the compiler:
+    the scalar pass at G=32/win=24/nf_out=5/balanced modeled 112.6M vs the
+    112-116M Mosaic reported when it blew a flat need+16M request (server
+    log r3/046-048); with the stack modeled, requests are right-sized —
+    over-asking crowds the whole step out of the 128M chip budget, under-
+    asking kills the kernel compile."""
+    nb = win // 8
+    k = nb * nb * 64
+    Wb = G * k * TILE * 4
+    t1 = G * nb * nf_out * 8 * TILE * 4
+    B = 2 * G * nb * nf_out * 8 * k * 4
+    wxT = 2 * G * win * TILE * 4
+    limbs = Wb if prec == "balanced" else (Wb // 2 if prec == "fast" else 0)
+    return Wb + limbs + t1 + B + wxT + Wb // 2
+
+
 def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int,
-                         hbm: bool = False) -> int:
+                         hbm: bool, prec: str) -> int:
     nf = nf_min
-    while _vmem_need(U, nf + 1, G, win, hbm) <= SAFE_VMEM:
+    while (_vmem_need(U, nf + 1, G, win, hbm)
+           + _stack_need(G, win, nf + 1 - nf_min, prec)) <= SAFE_VMEM:
         nf += 1
     return nf
 
@@ -408,15 +458,17 @@ def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int,
 @functools.lru_cache(maxsize=None)
 def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
            minmax=False, hbm=False):
-    G = min(GROUP, C)
+    G = min(_group_cap(f_lo, win), C)
     gpc = C // G
     nf_out = nb - f_lo
     # The compiler carves its scoped stack (kernel register temps: W/B
-    # operands, t1, bcache spans — ~6 MB measured at bench size) out of
-    # vmem_limit_bytes AFTER the declared buffers; request headroom above
-    # the buffer estimate or the stack allocation trips the scoped limit.
+    # operands, t1, bcache spans — see _stack_need) out of
+    # vmem_limit_bytes AFTER the declared buffers; request less and the
+    # stack allocation trips the scoped limit, request more and the whole
+    # step program can exceed the 128 MB chip budget.
     vmem = min(120 * 1024 * 1024,
-               _vmem_need(U, nf_all, G, win, hbm) + 16 * 1024 * 1024)
+               _vmem_need(U, nf_all, G, win, hbm)
+               + _stack_need(G, win, nf_out, prec) + 6 * 1024 * 1024)
     scratch = [pltpu.VMEM((G, 27 * nf_all, 8, 64), jnp.float32)]
     if win == 16:
         scratch.append(pltpu.VMEM((G, 8 * nf_all, 8, 64), jnp.float32))
@@ -558,11 +610,13 @@ def bfecc_sample_fused(
     # scalar pass (f_lo == 3) can split; the velocity pass is always small.
     hbm = (not interpret) if HBM_TBL is None else bool(HBM_TBL)
     nf_fixed = 3 + (1 if sdf is not None else 0)
-    if f_lo == 3 and nf_out > 1 and _vmem_need(
-        U, nf_all, min(GROUP, C), int(win), hbm
+    g = min(_group_cap(f_lo, int(win)), C)
+    if f_lo == 3 and nf_out > 1 and (
+        _vmem_need(U, nf_all, g, int(win), hbm)
+        + _stack_need(g, int(win), nf_out, prec)
     ) > SAFE_VMEM:
-        per = max(1, _max_fields_for_vmem(U, min(GROUP, C), int(win),
-                                          nf_fixed, hbm) - nf_fixed)
+        per = max(1, _max_fields_for_vmem(U, g, int(win),
+                                          nf_fixed, hbm, prec) - nf_fixed)
         parts: Tuple[List[jax.Array], ...] = ([], [], [], [])
         for lo in range(3, nb, per):
             batch = list(fields[:3]) + list(fields[lo:lo + per])

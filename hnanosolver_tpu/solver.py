@@ -136,7 +136,7 @@ def step_impl(
     else:
         p = prs.solve_pressure(
             topo, div, params.iterations, params.voxel_size, params.omega,
-            refresh=rf_solver, halo_lag=params.halo_lag,
+            refresh=rf_solver, halo_lag=params.effective_halo_lag,
         )
     p = refresh(p)
     u_star = refresh(u_star)
