@@ -74,6 +74,16 @@ class SlabTopology:
     def tree_unflatten(cls, aux, ch):
         return cls(*ch)
 
+    def make_refresh_local(self, axis: str, ex) -> "callable":
+        """Refresh closure from this device's exchange leaves (leaf order
+        after the 5 core arrays) — the decomposition-specific half of
+        ``sharded_step``; BoxTopology (parallel/boxes.py) provides the
+        multi-phase 2-D/3-D counterpart."""
+        send_lo, send_hi, recv_lo, recv_hi = ex
+        return make_refresh(
+            axis, send_lo, send_hi, recv_lo, recv_hi, self.n_devices
+        )
+
 
 def _snap_partition(xs: np.ndarray, n_dev: int) -> List[Tuple[int, int]]:
     """Split sorted x-layer values into n_dev contiguous layer ranges with
@@ -385,14 +395,16 @@ def sharded_step(
     D = slab.n_devices
 
     def local_step(slab_arrs, hier_maps, vel, scalars):
-        # shard_map hands each [D, ...] array as its local [1, ...] block
-        (keys, origins, nbr, n_rows, local_mask,
-         send_lo, send_hi, recv_lo, recv_hi) = (a[0] for a in slab_arrs)
+        # shard_map hands each [D, ...] array as its local [1, ...] block.
+        # Leaf contract (SlabTopology AND BoxTopology): 5 core arrays, then
+        # the decomposition-specific exchange maps.
+        keys, origins, nbr, n_rows, local_mask = (a[0] for a in slab_arrs[:5])
+        ex = tuple(a[0] for a in slab_arrs[5:])
         vel = vel[0]
         scalars = {k: v[0] for k, v in scalars.items()}
         n_rows = n_rows[()] if n_rows.ndim == 0 else n_rows
         topo = _local_topo((keys, origins, nbr, n_rows))
-        refresh = make_refresh(axis, send_lo, send_hi, recv_lo, recv_hi, D)
+        refresh = slab.make_refresh_local(axis, ex)
 
         hier = ()
         coarse_reduce = None

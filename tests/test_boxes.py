@@ -1,0 +1,175 @@
+"""Box (2-D/3-D) decomposition: the staged ppermute exchange must reproduce
+the single-device step exactly, including corner/edge ghosts (the slab
+tests' multi-axis generalization)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnanosolver_tpu.config import SolverParams
+from hnanosolver_tpu.core.topology import active_mask, build_topology
+from hnanosolver_tpu.fields import zeros_state
+from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
+from hnanosolver_tpu.parallel.boxes import (
+    build_boxes,
+    gather_state,
+    scatter_state,
+    sharded_step,
+)
+
+
+def _sparse_box_topology(rng, nx=8, ny=8, nz=8):
+    """Sparse topology spanning several tile-layers along EVERY axis."""
+    tiles = []
+    for x in range(nx):
+        for y in range(ny):
+            for z in range(nz):
+                if rng.random() < 0.7 or (x < 2 and y < 2 and z < 2):
+                    tiles.append((x, y, z))
+    return build_topology(np.array(tiles, np.int32))
+
+
+def _demo_state(topo, rng):
+    from hnanosolver_tpu.core.layout import positions_flat
+
+    state = zeros_state(topo)
+    px, py, pz = (p.astype(jnp.float32) for p in positions_flat(topo))
+    m = active_mask(topo)[:, None]
+    blob = jnp.exp(-((px - 24) ** 2 + (py - 24) ** 2 + (pz - 24) ** 2) / 60.0) * m
+    noise = jnp.asarray(
+        rng.standard_normal((3, topo.capacity, 512)).astype(np.float32) * 0.3
+    ) * m[None]
+    return (
+        state.replace(velocity=noise)
+        .with_scalar("density", blob)
+        .with_scalar("temperature", (23.0 + 40.0 * blob) * m)
+        .with_scalar("fuel", 0.4 * blob)
+    )
+
+
+@pytest.fixture
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs >= 8 devices")
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devs[:8]), ("x",))
+
+
+def test_build_boxes_partition_covers_all(rng):
+    topo = _sparse_box_topology(rng)
+    box = build_boxes(topo, (2, 2, 2))
+    owned = np.asarray(box.local_mask).sum(axis=1)
+    assert owned.sum() == int(topo.n_active)
+    assert (owned > 0).all()
+    # every device's table must contain each owned tile's full 27-stencil
+    # (when active globally): ghosts include corners.
+    gk = set(int(k) for k in np.asarray(topo.keys)[1: int(topo.n_active) + 1])
+    offs = [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    ]
+    from hnanosolver_tpu.core import coords as C
+
+    for d in range(8):
+        rows = np.asarray(box.local_mask[d]) > 0
+        own = np.asarray(box.origins[d])[rows]
+        have = set(int(k) for k in np.asarray(box.keys[d]) if k != C.PAD_KEY)
+        nk = C.pack_keys_np(own[:, None, :] + np.array(offs)[None])
+        for k in nk.ravel():
+            if int(k) in gk:
+                assert int(k) in have, f"device {d} missing ghost {k}"
+
+
+def test_boxes_slab_special_case_matches(rng):
+    """(D,1,1) boxes and build_slabs carry identical owned partitions."""
+    from hnanosolver_tpu.parallel.slab import build_slabs
+
+    topo = _sparse_box_topology(rng, nx=16, ny=4, nz=4)
+    box = build_boxes(topo, (4, 1, 1))
+    slab = build_slabs(topo, 4)
+    for d in range(4):
+        bk = np.asarray(box.keys[d])[np.asarray(box.local_mask[d]) > 0]
+        sk = np.asarray(slab.keys[d])[np.asarray(slab.local_mask[d]) > 0]
+        np.testing.assert_array_equal(np.sort(bk), np.sort(sk))
+
+
+def test_scatter_gather_roundtrip_boxes(rng, mesh8):
+    topo = _sparse_box_topology(rng)
+    state = _demo_state(topo, rng)
+    box = build_boxes(topo, (2, 2, 2))
+    back = gather_state(topo, box, scatter_state(topo, box, state))
+    np.testing.assert_allclose(
+        np.asarray(back.velocity), np.asarray(state.velocity)
+    )
+    for k in state.scalars:
+        np.testing.assert_allclose(
+            np.asarray(back.scalars[k]), np.asarray(state.scalars[k]),
+            err_msg=k,
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("grid", [(2, 2, 2), (4, 2, 1), (1, 2, 4)])
+def test_box_step_matches_single_device(rng, mesh8, grid):
+    topo = _sparse_box_topology(rng)
+    state = _demo_state(topo, rng)
+    params = SolverParams(dt=0.2, iterations=4, voxel_size=0.5)
+    cfg = PlumeConfig(center=(24.0, 24.0, 24.0), radius=6.0)
+
+    want = plume_step(topo, state, params, cfg)
+
+    box = build_boxes(topo, grid)
+    from hnanosolver_tpu.models.plume import emit
+
+    fn = sharded_step(
+        mesh8, box, params,
+        emit_fn=lambda t, s: emit(t, s, cfg, params.dt),
+    )
+    got = gather_state(topo, box, fn(box, scatter_state(topo, box, state)))
+
+    m = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got.velocity)[:, m], np.asarray(want.velocity)[:, m],
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in want.scalars:
+        np.testing.assert_allclose(
+            np.asarray(got.scalars[k])[m], np.asarray(want.scalars[k])[m],
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+
+@pytest.mark.slow
+def test_box_step_mg_matches_single_device(rng, mesh8):
+    """Multigrid pressure (replicated coarse + psum) under a 3-D box grid."""
+    from hnanosolver_tpu.ops.multigrid import build_hierarchy
+    from hnanosolver_tpu.parallel.boxes import build_slab_hierarchy
+    from hnanosolver_tpu.solver import step
+
+    topo = _sparse_box_topology(rng)
+    state = _demo_state(topo, rng)
+    params = SolverParams(
+        dt=0.2, iterations=2, voxel_size=0.5, pressure_solver="mg",
+        mg_levels=1, mg_coarsest=4,
+    )
+    hier = tuple(build_hierarchy(topo, params.mg_levels))
+    want = step(topo, state, params, hier)
+
+    box = build_boxes(topo, (2, 2, 2))
+    shier = build_slab_hierarchy(topo, box, params.mg_levels)
+    fn = sharded_step(mesh8, box, params, hierarchy=shier)
+    got = gather_state(topo, box, fn(box, scatter_state(topo, box, state)))
+
+    m = np.asarray(active_mask(topo)).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got.velocity)[:, m], np.asarray(want.velocity)[:, m],
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in want.scalars:
+        np.testing.assert_allclose(
+            np.asarray(got.scalars[k])[m], np.asarray(want.scalars[k])[m],
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
