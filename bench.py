@@ -31,13 +31,19 @@ import numpy as np
 ITERATIONS = 50  # pressure sweeps per step (the hot loop, SURVEY §3.1)
 RTX_CLASS_GBPS = 1008.0  # RTX 4090 memory bandwidth
 CHAIN = 12  # longest timed chain (16+ tripped the worker watchdog)
-ROUNDS = 8  # independent measurement rounds; report the best (tunnel jitter
+ROUNDS = 8  # minimum measurement rounds; report the best (tunnel jitter
 # is one-sided — delays only — so min-of-rounds estimates the true step;
 # observed single-round wobble is up to 3x on quiet-vs-congested windows,
 # and whole multi-minute windows can be congested — more rounds beat more
 # repeats per round)
+MAX_ROUNDS = 16  # keep sampling extra rounds while the whole run has only
+# seen congested windows (r3: one run caught 8/8 rounds at ~3x — the chip
+# is time-shared, so only WAITING for a quieter window recovers the truth)
 ROUND_GAP_S = 20.0  # pause between rounds so the rounds SPAN congestion
 # windows (they change on the minutes scale) instead of sampling one window
+LATE_GAP_S = 75.0  # wider spacing for the extra rounds: sample FARTHER
+# windows instead of resampling the same congested one
+WALL_BUDGET_S = 2400.0  # hard cap on total measurement wall-clock
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
@@ -89,12 +95,26 @@ def _measure(jax, topo, params, cfg, state, chain_len=CHAIN, repeats=4):
         return b
 
     samples = []
-    for r in range(ROUNDS):
+    t_start = time.perf_counter()
+    r = 0
+    while True:
         if r:
-            time.sleep(ROUND_GAP_S)
+            time.sleep(ROUND_GAP_S if r < ROUNDS else LATE_GAP_S)
         pull(chain(state, k_lo))  # throwaway: the first call after an idle
         # gap pays tunnel cold-start
         samples.append((best(k_lo), best(k_hi)))
+        r += 1
+        if r < ROUNDS:
+            continue
+        # congestion heuristic: a quiet window shows a 2-step chain at the
+        # ~0.3-0.5 s flat pull latency; if every round so far was slower
+        # than 0.7 s the chip was time-shared the whole run (r3 saw 8/8
+        # rounds at ~3x) — keep sampling, spaced wider, within the budget.
+        quiet_seen = min(t for t, _ in samples) < 0.7
+        if quiet_seen or r >= MAX_ROUNDS:
+            break
+        if time.perf_counter() - t_start > WALL_BUDGET_S - LATE_GAP_S - 30.0:
+            break
     return slope_estimate(samples, 2, chain_len), samples
 
 

@@ -550,7 +550,12 @@ TABLE_BYTES_BUDGET = 2 * 1024**3
 
 
 def _pick_slices(nc: int, U: int, nf: int) -> int:
-    per_chunk = U * nf * 8 * 128 * 4  # bytes, incl. the (8,128) lane pad
+    # Budget the PEAK of the slice build, not just the resident table: the
+    # gathered cols ([.., nf, 512], layout-exact) plus the [.., 8, 64]
+    # reshape (T(8,128) layout pads it 2x) plus the explicit lane pad are
+    # all live at once — 2.5x the padded table bytes. The 1024^3 OOM
+    # (probe r4/002) showed two 1.93 GB buffers from one 0.99 GB table.
+    per_chunk = U * nf * 4 * (512 + 2 * 8 * 128)  # cols + reshape + pad
     total = nc * per_chunk
     s = 1
     while total // s > TABLE_BYTES_BUDGET and s < nc:
@@ -678,18 +683,20 @@ def bfecc_sample_fused(
         return fn(ln, dxs, dys, dzs, tbl)
 
     rows = full * ncs * C
-    xs = (
-        topo.chunk_uniq[: full * ncs].reshape(full, ncs * U),
-        topo.chunk_lnbr[:rows].reshape(full, ncs * C, 27),
-        dx[:rows].reshape(full, ncs * C, TILE),
-        dy[:rows].reshape(full, ncs * C, TILE),
-        dz[:rows].reshape(full, ncs * C, TILE),
-    )
+    # slice INSIDE the scan body (dynamic_slice per iteration) instead of
+    # pre-reshaping whole-domain copies into scan xs: the xs form held
+    # duplicate [rows, 512] copies of dx/dy/dz (+lnbr) alongside the
+    # originals — ~3 GB of the 1024^3 OOM (probe r4/002).
+    uq_flat = topo.chunk_uniq.reshape(-1)
 
-    def body(carry, x):
-        return carry, run(ncs, *x)
+    def body(carry, i):
+        r0 = i * (ncs * C)
+        uq = jax.lax.dynamic_slice(uq_flat, (i * ncs * U,), (ncs * U,))
+        ln = jax.lax.dynamic_slice(topo.chunk_lnbr, (r0, 0), (ncs * C, 27))
+        sl = lambda a: jax.lax.dynamic_slice(a, (r0, 0), (ncs * C, TILE))  # noqa: E731
+        return carry, run(ncs, uq, ln, sl(dx), sl(dy), sl(dz))
 
-    _, outs = jax.lax.scan(body, 0, xs)
+    _, outs = jax.lax.scan(body, 0, jnp.arange(full))
     tail = (
         run(rem, topo.chunk_uniq[full * ncs :].reshape(rem * U),
             topo.chunk_lnbr[rows:], dx[rows:], dy[rows:], dz[rows:])

@@ -1,13 +1,20 @@
 """BASELINE config 5 at its actual scale: a 1024^3-class sparse plume on ONE
-v5e chip (~260k tiles, ~133 M active voxels), full solver step with multigrid
+v5e chip (~269k tiles, ~138 M active voxels), full solver step with multigrid
 pressure, MEASURED (not HBM-budget math — VERDICT r2 missing item 2).
 
 Run through the persistent worker:
     python tools/tpu_submit.py 0NN_scale1024 tools/scale1024.py 3600
 
+Memory discipline (16 GB HBM, probe r4/002 OOM'd at 19.9 GB without it):
+- every step call DONATES its input state (plume_step_donated semantics);
+  the measurement chains one evolving state through both solver configs,
+- the advection chunk-table governor slices by BUILD PEAK (pallas_bfecc),
+- the worker namespace is purged up front (tpu_server keeps prior jobs'
+  globals alive).
+
 Prints a small markdown table + one JSON line. Methodology matches
 SCALE_r02.md: one window, chain-slope timing (2- vs 4-step device chains),
-MG(3-level, 2 V-cycles) vs RBGS(50, lag-5) on the same developed state.
+MG(3-level, 2 V-cycles) then RBGS(50, lag-5) on the same evolving state.
 Spec: SURVEY §5.7 / BASELINE.json config 5 (1024^3 multigrid).
 """
 from __future__ import annotations
@@ -16,6 +23,17 @@ import json
 import sys
 import time
 
+# purge the persistent worker namespace: prior jobs' globals pin HBM
+_KEEP = {"jax", "time", "json", "np", "__builtins__", "__name__", "out"}
+for _k in [k for k in list(globals()) if k not in _KEEP and not k.startswith("__")]:
+    del globals()[_k]
+try:
+    import jax as _jax
+
+    _jax.clear_caches()
+except Exception:
+    pass
+
 sys.path.insert(0, "/root/repo")
 
 import numpy as np  # noqa: E402
@@ -23,7 +41,7 @@ import numpy as np  # noqa: E402
 
 def plume_envelope_1024(radius_vox=256, height_vox=1024, cx_vox=512, cz_vox=512):
     """4x-scaled version of bench.build_plume_envelope: emitter sphere +
-    rising cone, ~260k tiles at these defaults."""
+    rising cone, ~269k tiles at these defaults."""
     from hnanosolver_tpu.core import coords as C
 
     r_t = radius_vox // C.LEAF
@@ -40,13 +58,15 @@ def plume_envelope_1024(radius_vox=256, height_vox=1024, cx_vox=512, cz_vox=512)
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from hnanosolver_tpu.config import SolverParams
     from hnanosolver_tpu.core.topology import build_topology
     from hnanosolver_tpu.fields import zeros_state
-    from hnanosolver_tpu.models.plume import PlumeConfig, plume_step
+    from hnanosolver_tpu.models.plume import PlumeConfig, _plume_step
     from hnanosolver_tpu.ops.multigrid import hierarchy_for
     from hnanosolver_tpu.ops.stencil import divergence
 
@@ -67,72 +87,59 @@ def main():
     print(f"hierarchy tiles/level: {[int(l.topo.n_active) for l in hier]}",
           flush=True)
 
-    # develop the fields a little so advection/pressure do real work
-    state = zeros_state(topo)
-    t0 = time.perf_counter()
-    for _ in range(2):
-        state = plume_step(topo, state, p_mg, cfg, hier)
-    np.asarray(state.velocity).ravel()[:1]
-    print(f"develop(2 steps incl. compile): {time.perf_counter() - t0:.1f} s",
-          flush=True)
-
-    def chain_fn(params, hierarchy):
-        @jax.jit
-        def chain(s, k):
-            return jax.lax.fori_loop(
-                0, k, lambda _, x: plume_step(topo, x, params, cfg, hierarchy),
-                s)
-        return chain
+    # every call donates its input: ONE evolving state threads the whole job
+    chain_mg = functools.partial(
+        jax.jit, static_argnames=("params", "cfg"), donate_argnums=(1,)
+    )(lambda t, s, k, params, cfg, h: jax.lax.fori_loop(
+        0, k, lambda _, x: _plume_step(t, x, params, cfg, h), s))
 
     def pull(tree):
         np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[:1]
 
-    def measure(params, hierarchy, k_lo=2, k_hi=4, repeats=3):
-        ch = chain_fn(params, hierarchy)
-        klo, khi = jnp.asarray(k_lo), jnp.asarray(k_hi)
-        pull(ch(state, klo))  # compile + warm
-        pull(ch(state, khi))
+    st = zeros_state(topo)
+    t0 = time.perf_counter()
+    st = chain_mg(topo, st, jnp.asarray(2), p_mg, cfg, hier)
+    pull(st)
+    print(f"develop(2 MG steps incl. compile): {time.perf_counter() - t0:.1f} s",
+          flush=True)
 
+    def measure(params, hierarchy, st, k_lo=2, k_hi=4, repeats=2):
         def best(k):
+            nonlocal st
             b = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                pull(ch(state, k))
+                st = chain_mg(topo, st, jnp.asarray(k), params, cfg, hierarchy)
+                pull(st)
                 b = min(b, time.perf_counter() - t0)
             return b
 
-        lo, hi = best(klo), best(khi)
-        return (hi - lo) / (k_hi - k_lo), (lo, hi)
+        lo, hi = best(k_lo), best(k_hi)
+        return (hi - lo) / (k_hi - k_lo), (lo, hi), st
 
-    def residual(params, hierarchy):
-        """max |div v| after one projected step from the developed state."""
-        s1 = plume_step(topo, state, params, cfg, hierarchy)
-        d = divergence(topo, s1.velocity, params.inv_voxel_size)
-        return float(jnp.max(jnp.abs(d)))
+    def report(name, params, hierarchy, st):
+        d0 = float(jnp.max(jnp.abs(
+            divergence(topo, st.velocity, params.inv_voxel_size))))
+        t, raw, st = measure(params, hierarchy, st)
+        st = chain_mg(topo, st, jnp.asarray(1), params, cfg, hierarchy)
+        rmax = float(jnp.max(jnp.abs(
+            divergence(topo, st.velocity, params.inv_voxel_size))))
+        print(f"{name}: step {t * 1e3:.1f} ms "
+              f"({voxels / t / 1e6:.1f} M vox/s)  div_before {d0:.3f} "
+              f"rmax_after {rmax:.3f}  raw {raw}", flush=True)
+        return t, d0, rmax, st
 
-    d0 = divergence(topo, state.velocity, p_mg.inv_voxel_size)
-    div0 = float(jnp.max(jnp.abs(d0)))
-    print(f"developed max|div| = {div0:.3f}", flush=True)
-
-    t_mg, raw_mg = measure(p_mg, hier)
-    r_mg = residual(p_mg, hier)
-    print(f"MG(3lvl, 2 V-cycles): step {t_mg * 1e3:.1f} ms "
-          f"({voxels / t_mg / 1e6:.1f} M vox/s)  rmax {r_mg:.3f} "
-          f"raw {raw_mg}", flush=True)
-
-    t_rb, raw_rb = measure(p_rb, ())
-    r_rb = residual(p_rb, ())
-    print(f"RBGS(50, lag-5):      step {t_rb * 1e3:.1f} ms "
-          f"({voxels / t_rb / 1e6:.1f} M vox/s)  rmax {r_rb:.3f} "
-          f"raw {raw_rb}", flush=True)
+    t_mg, d0_mg, r_mg, st = report("MG(3lvl, 2 V-cycles)", p_mg, hier, st)
+    t_rb, d0_rb, r_rb, st = report("RBGS(50, lag-5)     ", p_rb, (), st)
 
     print(json.dumps({
         "config": "baseline-5-1024^3-single-chip",
         "tiles": int(topo.n_active), "voxels": voxels,
-        "div0": round(div0, 3),
-        "mg_step_ms": round(t_mg * 1e3, 1), "mg_rmax": round(r_mg, 3),
+        "mg_step_ms": round(t_mg * 1e3, 1), "mg_div0": round(d0_mg, 3),
+        "mg_rmax": round(r_mg, 3),
         "mg_mvoxps": round(voxels / t_mg / 1e6, 1),
-        "rbgs_step_ms": round(t_rb * 1e3, 1), "rbgs_rmax": round(r_rb, 3),
+        "rbgs_step_ms": round(t_rb * 1e3, 1), "rbgs_div0": round(d0_rb, 3),
+        "rbgs_rmax": round(r_rb, 3),
         "rbgs_mvoxps": round(voxels / t_rb / 1e6, 1),
     }), flush=True)
 
