@@ -238,11 +238,15 @@ def prolong_trilinear(level: MGLevel, coarse: jax.Array) -> jax.Array:
     # stacking order: axis-k parity lands in bit k => index q = pz*4+py*2+px
     Tc = coarse.shape[0]
     stacked = jnp.moveaxis(fields, 0, 1).reshape(Tc, 8 * 512)
-    par = jnp.take(stacked, level.parent, axis=0)  # [Tf, 4096]
-    out = jnp.zeros((par.shape[0], 512), par.dtype)
+    # lane-select per octant on the COARSE side, THEN row-gather to fine:
+    # gathering [Tf, 4096] first was a 4.1 GB temp at 1024^3 (the largest
+    # allocation in the probe r4/004 OOM); this order is the same two takes
+    # commuted, peaking at [Tc, 4096] + 2x [Tf, 512] instead.
+    out = jnp.zeros((level.parent.shape[0], 512), coarse.dtype)
     oct_ = level.octant[:, None]
     for o in range(8):
-        cand = jnp.take(par, jnp.asarray(_IDX_OCT_Q[o]), axis=1)
+        cand_c = jnp.take(stacked, jnp.asarray(_IDX_OCT_Q[o]), axis=1)
+        cand = jnp.take(cand_c, level.parent, axis=0)  # [Tf, 512]
         out = jnp.where(oct_ == o, cand, out)
     return out
 

@@ -19,11 +19,7 @@ Spec: SURVEY §5.7 / BASELINE.json config 5 (1024^3 multigrid).
 """
 from __future__ import annotations
 
-import json
-import sys
-import time
-
-# purge the persistent worker namespace: prior jobs' globals pin HBM
+# purge the persistent worker namespace FIRST: prior jobs' globals pin HBM
 _KEEP = {"jax", "time", "json", "np", "__builtins__", "__name__", "out"}
 for _k in [k for k in list(globals()) if k not in _KEEP and not k.startswith("__")]:
     del globals()[_k]
@@ -33,6 +29,10 @@ try:
     _jax.clear_caches()
 except Exception:
     pass
+
+import json  # noqa: E402
+import sys  # noqa: E402
+import time  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
 
