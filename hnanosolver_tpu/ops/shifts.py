@@ -72,10 +72,18 @@ def neighbor_sum(topo: Topology, f: jax.Array) -> jax.Array:
     and Pallas pressure paths at 0 ulp). At-scale domains accumulate
     per direction (same order, bit-exact) to cap the transient."""
     if 6 * f.size * 4 > NBRSUM_VIEWS_BUDGET:
+        # The six gathers are data-independent, so without a barrier XLA's
+        # scheduler runs them all before the adds and the whole [6,T,512]
+        # transient materializes anyway (seen in the 1024^3 OOM, probe
+        # r4/005). optimization_barrier is an identity that threads ``f``
+        # through each accumulation, forcing gather k+1 after add k:
+        # peak = acc + one view instead of six views.
         acc = None
+        src = f
         for off in FACE_DIRS:
-            v = shifted_view(topo, f, off)
+            v = shifted_view(topo, src, off)
             acc = v if acc is None else acc + v
+            acc, src = jax.lax.optimization_barrier((acc, src))
         return acc
     v = face_views_multi(topo, f[None])[:, 0]
     return v[0] + v[1] + v[2] + v[3] + v[4] + v[5]

@@ -24,10 +24,28 @@ from hnanosolver_tpu.core.topology import Topology
 from hnanosolver_tpu.ops.shifts import offset_view, shifted_view, shifted_views
 
 
+_AXIS_OFFS = (((1, 0, 0), (-1, 0, 0)), ((0, 1, 0), (0, -1, 0)),
+              ((0, 0, 1), (0, 0, -1)))
+
+
 def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
     """div(u) at cell centers: the reference averages face values
     0.5*(u_c + u_nbr) on both sides and differences them (`Kernel.cu:511-518`),
-    which reduces to (u_{+1} - u_{-1}) / (2 dx) per axis. vel [3,T,512]."""
+    which reduces to (u_{+1} - u_{-1}) / (2 dx) per axis. vel [3,T,512].
+
+    At-scale domains chain the per-axis terms through optimization_barrier
+    (bit-identical; same left-associated order) so XLA cannot schedule all
+    six view gathers concurrently — see shifts.neighbor_sum."""
+    from hnanosolver_tpu.ops.shifts import NBRSUM_VIEWS_BUDGET
+
+    if 2 * vel.size * 4 > NBRSUM_VIEWS_BUDGET:
+        acc = None
+        src = vel
+        for c, (op, om) in enumerate(_AXIS_OFFS):
+            term = shifted_view(topo, src[c], op) - shifted_view(topo, src[c], om)
+            acc = term if acc is None else acc + term
+            acc, src = jax.lax.optimization_barrier((acc, src))
+        return acc * (0.5 * inv_dx)
     ux, uy, uz = vel[0], vel[1], vel[2]
     return (
         (shifted_view(topo, ux, (1, 0, 0)) - shifted_view(topo, ux, (-1, 0, 0)))
@@ -53,7 +71,23 @@ def subtract_pressure_gradient(
 ) -> jax.Array:
     """u <- u* - grad(p). dt/rho is absorbed into p's units, as in the
     reference (`Kernel.cu:804-806`). Collision no-slip blending is applied
-    separately (ops/collision.py), matching the kernel's tail."""
+    separately (ops/collision.py), matching the kernel's tail.
+
+    At-scale domains compute one axis at a time behind optimization_barrier
+    (bit-identical) instead of materializing all six p-views at once."""
+    from hnanosolver_tpu.ops.shifts import NBRSUM_VIEWS_BUDGET
+
+    if 2 * vel.size * 4 > NBRSUM_VIEWS_BUDGET:
+        comps = []
+        src = p
+        for c, (op, om) in enumerate(_AXIS_OFFS):
+            g = (shifted_view(topo, src, op) - shifted_view(topo, src, om)) * (
+                0.5 * inv_dx
+            )
+            comp = vel[c] - g
+            comp, src = jax.lax.optimization_barrier((comp, src))
+            comps.append(comp)
+        return jnp.stack(comps)
     return vel - pressure_gradient(topo, p, inv_dx)
 
 
