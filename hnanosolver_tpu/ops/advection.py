@@ -515,10 +515,12 @@ def advect_scalars_fused(
     nbatch = max(1, min(len(fields),
                         int(ADVECT_TRANSIENT_BUDGET // per_field)))
     outs: list = []
+    src_vel = vel
     for i in range(0, len(fields), nbatch):
         sub = fields[i:i + nbatch]
         pf, pb, lohi = _advect_chunked(
-            topo, vel, sub, dt * inv_dx, sdf, chunk, trace_order, INTERP, fast
+            topo, src_vel, sub, dt * inv_dx, sdf, chunk, trace_order, INTERP,
+            fast
         )
         phi0s = jnp.stack(sub)
         corrs = pf + 0.5 * (phi0s - pb)
@@ -530,6 +532,12 @@ def advect_scalars_fused(
         else:
             clamped = _minmax_clamp_multi(topo, phi0s, pf, corrs)
         outs.extend(clamped[j] for j in range(len(sub)))
+        if i + nbatch < len(fields):
+            # batches are data-independent — barrier-chain them (identity)
+            # so batch i+1's transients start only after batch i's clamp
+            # retires (see shifts.neighbor_sum; at-scale OOM otherwise)
+            outs[-1], src_vel = jax.lax.optimization_barrier(
+                (outs[-1], src_vel))
     return {n: outs[i] for i, n in enumerate(names)}
 
 
@@ -571,18 +579,22 @@ def advect_velocity(
         # Sampling math is identical (the component's dot rows use the same
         # operands either way); costs two extra back-pass fields per call.
         comps = []
+        src_vel = vel
         for j in range(3):
             pf, pb, lohi = _advect_chunked(
-                topo, vel, [vel[j]], dt * inv_dx, sdf, chunk, trace_order,
-                INTERP, fast,
+                topo, src_vel, [src_vel[j]], dt * inv_dx, sdf, chunk,
+                trace_order, INTERP, fast,
             )
-            corrs = pf + 0.5 * (vel[j][None] - pb)
+            corrs = pf + 0.5 * (src_vel[j][None] - pb)
             if lohi is not None:
                 o = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
                              jnp.maximum(lohi[1], pf))
             else:
-                o = _minmax_clamp_multi(topo, vel[j][None], pf, corrs)
-            comps.append(o[0])
+                o = _minmax_clamp_multi(topo, src_vel[j][None], pf, corrs)
+            comp = o[0]
+            if j < 2:  # barrier-chain independent component passes
+                comp, src_vel = jax.lax.optimization_barrier((comp, src_vel))
+            comps.append(comp)
         out = jnp.stack(comps)
     else:
         fields = [vel[0], vel[1], vel[2]]

@@ -39,9 +39,12 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 
 
-def plume_envelope_1024(radius_vox=256, height_vox=1024, cx_vox=512, cz_vox=512):
+def plume_envelope_1024(radius_vox=248, height_vox=1024, cx_vox=512, cz_vox=512):
     """4x-scaled version of bench.build_plume_envelope: emitter sphere +
-    rising cone, ~269k tiles at these defaults."""
+    rising cone. radius 248 gives ~253k tiles / ~130 M voxels — the largest
+    envelope that compiles inside 15.75 GB HBM with headroom (radius 256 =
+    269k tiles peaked 430 MB over after all the r4 memory work; the binding
+    constraint is the advection limiter transients, probe r4/006)."""
     from hnanosolver_tpu.core import coords as C
 
     r_t = radius_vox // C.LEAF
