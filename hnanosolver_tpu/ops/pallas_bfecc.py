@@ -457,8 +457,8 @@ def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int,
 
 @functools.lru_cache(maxsize=None)
 def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
-           minmax=False, hbm=False):
-    G = min(_group_cap(f_lo, win), C)
+           minmax=False, hbm=False, group=None):
+    G = min(group or _group_cap(f_lo, win), C)
     gpc = C // G
     nf_out = nb - f_lo
     # The compiler carves its scoped stack (kernel register temps: W/B
@@ -616,21 +616,38 @@ def bfecc_sample_fused(
     hbm = (not interpret) if HBM_TBL is None else bool(HBM_TBL)
     nf_fixed = 3 + (1 if sdf is not None else 0)
     g = min(_group_cap(f_lo, int(win)), C)
-    if f_lo == 3 and nf_out > 1 and (
-        _vmem_need(U, nf_all, g, int(win), hbm)
-        + _stack_need(g, int(win), nf_out, prec)
-    ) > SAFE_VMEM:
-        per = max(1, _max_fields_for_vmem(U, g, int(win),
-                                          nf_fixed, hbm, prec) - nf_fixed)
-        parts: Tuple[List[jax.Array], ...] = ([], [], [], [])
-        for lo in range(3, nb, per):
-            batch = list(fields[:3]) + list(fields[lo:lo + per])
-            res = bfecc_sample_fused(
-                topo, batch, dx, dy, dz, sdt, 3, sdf=sdf, prec=prec,
-                interpret=interpret, win=win, slices=slices, minmax=minmax)
-            for acc, part in zip(parts, res):
-                acc += part
-        return parts[:len(res)]
+
+    def _fits(gg: int) -> bool:
+        return (_vmem_need(U, nf_all, gg, int(win), hbm)
+                + _stack_need(gg, int(win), nf_out, prec)) <= SAFE_VMEM
+
+    group = None
+    if f_lo == 3 and nf_out > 1 and not _fits(g):
+        # Prefer a SMALLER GROUP over field batches: every batch re-samples
+        # the three velocity operands (the in-kernel re-trace needs them),
+        # which made advect_scalars cost 2.3x its field-proportional share
+        # at bench size — 78% of the whole step (probe r4/008: scalars
+        # 54.8 ms vs velocity 14.6 ms in one window). G is bit-neutral and
+        # must divide the chunk size, so halve until the ONE-launch form
+        # fits; fall back to batches only below G=8.
+        gg = g // 2
+        while gg >= 8 and not _fits(gg):
+            gg //= 2
+        if gg >= 8:
+            group = gg
+        else:
+            per = max(1, _max_fields_for_vmem(U, g, int(win),
+                                              nf_fixed, hbm, prec) - nf_fixed)
+            parts: Tuple[List[jax.Array], ...] = ([], [], [], [])
+            for lo in range(3, nb, per):
+                batch = list(fields[:3]) + list(fields[lo:lo + per])
+                res = bfecc_sample_fused(
+                    topo, batch, dx, dy, dz, sdt, 3, sdf=sdf, prec=prec,
+                    interpret=interpret, win=win, slices=slices,
+                    minmax=minmax)
+                for acc, part in zip(parts, res):
+                    acc += part
+            return parts[:len(res)]
 
     if slices is None:
         slices = _pick_slices(nc, U, nf_all)
@@ -654,7 +671,7 @@ def bfecc_sample_fused(
             tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, 0), (0, 64)))
         fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None,
                     float(sdt), bool(interpret), prec, int(win),
-                    minmax, hbm)
+                    minmax, hbm, group)
         out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
         out, out2 = out if minmax else (out, None)
         return unpack(out, out2)
@@ -674,7 +691,8 @@ def bfecc_sample_fused(
         # [T, nf*512] resident copy — at 1024^3 that copy alone is ~4.4 GB
         # held across every slice
         fn = _build(ncall, U, C, ncall * C, nf_all, nb, f_lo, sdf is not None,
-                    float(sdt), bool(interpret), prec, int(win), minmax, hbm)
+                    float(sdt), bool(interpret), prec, int(win), minmax, hbm,
+                    group)
         cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],
                          axis=1)  # [ncall*U, nf, 512]
         tbl = cols.reshape(ncall, U * nf_all, 8, 64)
