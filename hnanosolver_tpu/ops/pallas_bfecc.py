@@ -60,11 +60,12 @@ from hnanosolver_tpu.core.layout import TILE
 # At G=32 the scalars pass runs in field batches (the VMEM governor
 # splits it; bit-exact), which is part of the measured-fast config.
 GROUP = 32
-# The velocity pass (f_lo == 0, nf=3) gets its own group size: its small
-# field count leaves VMEM room but its per-pass stack (W operand + limb
-# splits + t1) still scales with G — see _stack_need. 16 keeps the
-# request under ~90 MB. Override for A/B probes only.
-GROUP_VEL = 16
+# The velocity pass (f_lo == 0, nf=3) starts at the same G as scalars:
+# G=32 fits the bench-class VMEM budget, measured 1.1-1.9x faster than 16
+# (bit-identical, probe r4/012); topologies whose chunk-unique row count
+# pushes the request over SAFE_VMEM (e.g. 1024^3 at U=1920) fall down the
+# group ladder in bfecc_sample_fused. Override for A/B probes only.
+GROUP_VEL = 32
 # The wide 24-window branch compiles into the SAME lax.cond as the
 # narrow one (both branches must fit even when only narrow runs), and
 # its W operand is (24/16)^4 = 5x the narrow stack per tile — G=32
@@ -622,20 +623,21 @@ def bfecc_sample_fused(
                 + _stack_need(gg, int(win), nf_out, prec)) <= SAFE_VMEM
 
     group = None
-    if f_lo == 3 and nf_out > 1 and not _fits(g):
+    if not _fits(g):
         # Prefer a SMALLER GROUP over field batches: every batch re-samples
         # the three velocity operands (the in-kernel re-trace needs them),
         # which made advect_scalars cost 2.3x its field-proportional share
         # at bench size — 78% of the whole step (probe r4/008: scalars
         # 54.8 ms vs velocity 14.6 ms in one window). G is bit-neutral and
         # must divide the chunk size, so halve until the ONE-launch form
-        # fits; fall back to batches only below G=8.
+        # fits; the scalar pass falls back to batches only below G=8 (the
+        # velocity pass has nothing to split — it takes the best G found).
         gg = g // 2
         while gg >= 8 and not _fits(gg):
             gg //= 2
         if gg >= 8:
             group = gg
-        else:
+        elif f_lo == 3 and nf_out > 1:
             per = max(1, _max_fields_for_vmem(U, g, int(win),
                                               nf_fixed, hbm, prec) - nf_fixed)
             parts: Tuple[List[jax.Array], ...] = ([], [], [], [])

@@ -125,7 +125,13 @@ def main():
             st = chain_mg(topo, st, jnp.asarray(k), params, cfg, hierarchy)
             pull(st)
             ts.append(time.perf_counter() - t0)
-        return (ts[1] - ts[0]) / (k_hi - k_lo), tuple(ts), st
+        slope = (ts[1] - ts[0]) / (k_hi - k_lo)
+        # Congestion noise at this scale (60-90 s calls) can invert the
+        # chain pair; a non-positive slope is meaningless — fall back to
+        # the long chain's mean step time, which upper-bounds the true
+        # step (it still contains the fixed dispatch overhead once).
+        est = slope if slope > 0 else ts[1] / k_hi
+        return est, tuple(ts), st
 
     slopes = {"mg": [], "rbgs": []}
     for r in range(3):
@@ -136,16 +142,35 @@ def main():
                   flush=True)
     t_mg, t_rb = min(slopes["mg"]), min(slopes["rbgs"])
 
-    def resid(params, hierarchy, st):
-        d0 = float(jnp.max(jnp.abs(
-            divergence(topo, st.velocity, params.inv_voxel_size))))
-        st = chain_mg(topo, st, jnp.asarray(1), params, cfg, hierarchy)
-        rmax = float(jnp.max(jnp.abs(
-            divergence(topo, st.velocity, params.inv_voxel_size))))
-        return d0, rmax, st
+    # Residual metric: PROJECT-ONLY on the developed velocity (div before
+    # the solve vs div after gradient subtraction). A full-step before/after
+    # comparison is meaningless — sourcing + advection re-introduce
+    # divergence after the projection (the first run of this script
+    # reported rmax_after > div_before for exactly that reason).
+    from hnanosolver_tpu.ops.multigrid import solve_pressure_mg
+    from hnanosolver_tpu.ops.pressure import solve_pressure
+    from hnanosolver_tpu.ops.stencil import subtract_pressure_gradient
 
-    d0_mg, r_mg, st = resid(p_mg, hier, st)
-    d0_rb, r_rb, st = resid(p_rb, (), st)
+    @functools.partial(jax.jit, static_argnames=("params",))
+    def project_resid(vel, params, hierarchy):
+        inv_dx = params.inv_voxel_size
+        div = divergence(topo, vel, inv_dx)
+        d0 = jnp.max(jnp.abs(div))
+        if params.pressure_solver == "mg":
+            p = solve_pressure_mg(
+                topo, list(hierarchy), div, params.iterations,
+                params.voxel_size, params.omega, tol=params.mg_tol,
+                n_pre=params.mg_pre, n_post=params.mg_post,
+                n_coarsest=params.mg_coarsest)
+        else:
+            p = solve_pressure(topo, div, params.iterations,
+                               params.voxel_size, params.omega,
+                               halo_lag=params.effective_halo_lag)
+        out = subtract_pressure_gradient(topo, vel, p, inv_dx)
+        return d0, jnp.max(jnp.abs(divergence(topo, out, inv_dx)))
+
+    d0_mg, r_mg = (float(x) for x in project_resid(st.velocity, p_mg, hier))
+    d0_rb, r_rb = (float(x) for x in project_resid(st.velocity, p_rb, ()))
     for nm, t, d0, rm in (("MG(3lvl, 2 V-cycles)", t_mg, d0_mg, r_mg),
                           ("RBGS(50, lag-5)", t_rb, d0_rb, r_rb)):
         print(f"{nm}: step {t * 1e3:.1f} ms ({voxels / t / 1e6:.1f} M vox/s)"
