@@ -64,10 +64,14 @@ def render_orthographic(
     emission_color=(1.0, 0.45, 0.12),
     smoke_color=(0.9, 0.9, 0.95),
     background=(0.05, 0.06, 0.08),
+    solid: Optional[np.ndarray] = None,
+    solid_color=(0.45, 0.47, 0.5),
 ) -> np.ndarray:
     """Fast orthographic front-to-back composite along an axis — the
     same accumulation loop as the reference shader, with the ray direction
-    fixed to a grid axis (one fused scan instead of per-pixel marching)."""
+    fixed to a grid axis (one fused scan instead of per-pixel marching).
+    ``solid``: optional boolean mask rendered as an opaque surface (the
+    collider demo's sphere — SDF < 0 cells)."""
     d = jnp.asarray(density)
     if axis != 0:
         d = jnp.moveaxis(d, axis, 0)
@@ -76,6 +80,11 @@ def render_orthographic(
         e = jnp.asarray(emission)
         if axis != 0:
             e = jnp.moveaxis(e, axis, 0)
+    s = None
+    if solid is not None:
+        s = jnp.asarray(solid).astype(jnp.float32)
+        if axis != 0:
+            s = jnp.moveaxis(s, axis, 0)
     n = d.shape[0]
     step = 1.0 / n
     alpha_step = jnp.clip(d * absorption * step, 0.0, 1.0)
@@ -88,6 +97,10 @@ def render_orthographic(
             base = base + jnp.asarray(emission_color)[None, None] * (
                 e[i][..., None] * step * (1.0 - alpha[..., None])
             )
+        if s is not None:  # opaque hit: absorbs everything still in flight
+            a_s = s[i] * (1.0 - alpha - a)
+            base = base + jnp.asarray(solid_color)[None, None] * a_s[..., None]
+            a = a + a_s
         return (color + base, alpha + a), None
 
     init = (
@@ -180,6 +193,10 @@ def render_state(
             emission = np.asarray(
                 tiles_to_dense(topo, state.scalar_blocks("flame"), shape, origin)
             )
+        if "collision_sdf" in state.scalars and "solid" not in kw:
+            sdf = np.asarray(tiles_to_dense(
+                topo, state.scalar_blocks("collision_sdf"), shape, origin))
+            kw["solid"] = sdf < 0.0
         return render_orthographic(dense, emission=emission, **kw)
     return render_perspective(dense, **kw)
 

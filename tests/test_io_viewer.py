@@ -84,6 +84,33 @@ def test_render_and_png(tmp_path):
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
 
 
+def test_render_solid_occludes():
+    """An opaque solid between the camera and the smoke hides it (the
+    collider demo's sphere); a solid BEHIND the smoke barely changes it."""
+    from hnanosolver_tpu.viewer.render import render_orthographic
+
+    n = 24
+    dens = np.zeros((n, n, n), np.float32)
+    dens[n // 2, :, :] = 4.0  # a bright slab mid-depth
+    front = np.zeros((n, n, n), bool)
+    front[2, 8:16, 8:16] = True  # between camera (i=0 side) and slab
+    behind = np.zeros((n, n, n), bool)
+    behind[n - 3, 8:16, 8:16] = True
+    base = render_orthographic(dens, axis=0, smoke_color=(1.0, 1.0, 1.0))
+    img_f = render_orthographic(
+        dens, axis=0, smoke_color=(1.0, 1.0, 1.0), solid=front,
+        solid_color=(0.0, 0.0, 0.0))
+    img_b = render_orthographic(
+        dens, axis=0, smoke_color=(1.0, 1.0, 1.0), solid=behind,
+        solid_color=(0.0, 0.0, 0.0))
+    # front solid: covered pixels go dark vs base
+    assert img_f[10, 10].sum() < base[10, 10].sum() - 0.3
+    # uncovered pixels unchanged
+    np.testing.assert_allclose(img_f[2, 2], base[2, 2], atol=1e-6)
+    # behind solid: smoke mostly absorbs the ray first; small change only
+    assert abs(img_b[10, 10].sum() - base[10, 10].sum()) < 0.15
+
+
 def test_turntable_and_apng(tmp_path, rng):
     """Orbit renders: frames differ across angles; APNG has valid chunks."""
     import struct
