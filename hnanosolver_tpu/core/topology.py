@@ -57,6 +57,16 @@ class Topology:
     # chunk instead of 27x), chunk_lnbr remaps nbr into chunk-local indices.
     chunk_uniq: Optional[jax.Array] = None  # [n_chunks, U] int32 global rows
     chunk_lnbr: Optional[jax.Array] = None  # [T, 27] int32 chunk-local rows
+    # Dual (corner-lattice) sampling plan for the narrow 16^3-window
+    # megakernel (ops/pallas_bfecc): window row (Xw,Yw,Zw) of tile t equals
+    # the half-shifted field S[d][l] = f[d*8 + l - 4] at dual tile
+    # d = t + (Xw,Yw,Zw), so the whole in-kernel window combine collapses
+    # to a per-chunk table of S rows. chunk_dsrc[c, u] lists the 8 source
+    # tile rows (d-1+b, b in {0,1}^3, 0 where absent) of chunk c's u-th
+    # unique dual tile; chunk_ldual[t, j] is the chunk-local dual-row index
+    # of t + delta_j (delta_j = (j>>2, (j>>1)&1, j&1); entry 0 = null row).
+    chunk_dsrc: Optional[jax.Array] = None  # [n_chunks, Ud, 8] int32 rows
+    chunk_ldual: Optional[jax.Array] = None  # [T, 8] int32 chunk-local rows
 
     @property
     def capacity(self) -> int:
@@ -77,6 +87,7 @@ class Topology:
         return (
             self.keys, self.origins, self.nbr, self.n_active,
             self.chunk_uniq, self.chunk_lnbr,
+            self.chunk_dsrc, self.chunk_ldual,
         ), ()
 
     @classmethod
@@ -139,6 +150,75 @@ def _chunk_plan(nbr: np.ndarray, capacity: int):
     return uq, ln
 
 
+_DUAL_OFFSETS = np.array(
+    [(bx, by, bz) for bx in (0, 1) for by in (0, 1) for bz in (0, 1)],
+    dtype=np.int32,
+)  # [8, 3]; index j = bx*4 + by*2 + bz (matches the window index Xw*4+Yw*2+Zw)
+
+
+def _dual_plan(origins: np.ndarray, keys_np: np.ndarray, capacity: int):
+    """Per-chunk unique DUAL-tile (corner-lattice) working sets for the
+    half-shifted sampling table (see the chunk_dsrc/chunk_ldual field doc).
+
+    Returns (chunk_dsrc [nc, Ud, 8], chunk_ldual [T, 8]). Row 0 of every
+    chunk is the all-null dual row (8 null sources -> zeros); padding tiles
+    point at it. Dual keys are packed int64 with a wide offset (tile+1 can
+    sit one past the packable int32 key range)."""
+    C_ = min(SAMPLE_CHUNK, capacity)
+    nc = capacity // C_
+    n = int(keys_np.shape[0])
+
+    def pack64(t):
+        t = t.astype(np.int64) + 1024
+        return (t[..., 0] * 4096 + t[..., 1]) * 4096 + t[..., 2]
+
+    def src_rows(dcoords):
+        """[m, 3] dual coords -> [m, 8] source tile rows (0 where absent)."""
+        if not n:
+            return np.zeros((len(dcoords), 8), np.int32)
+        cand = dcoords[:, None, :] - 1 + _DUAL_OFFSETS[None]  # [m, 8, 3]
+        ck = C.pack_keys_np(np.clip(cand, -C.TILE_OFFSET, C.TILE_OFFSET - 1))
+        pos = np.searchsorted(keys_np, ck)
+        pos_c = np.minimum(pos, n - 1)
+        ok = (keys_np[pos_c] == ck) & np.all(
+            (cand >= -C.TILE_OFFSET) & (cand < C.TILE_OFFSET), axis=-1
+        )
+        return np.where(ok, pos_c + 1, 0).astype(np.int32)
+
+    per_chunk = []  # (unique dual coords [m,3], dual keys sorted [m])
+    Ud = 1
+    for c in range(nc):
+        r0, r1 = c * C_, (c + 1) * C_
+        act = (np.arange(r0, r1) >= 1) & (np.arange(r0, r1) <= n)
+        org = origins[r0:r1][act]
+        if len(org):
+            dc = (org[:, None, :] + _DUAL_OFFSETS[None]).reshape(-1, 3)
+            dk, idx = np.unique(pack64(dc), return_index=True)
+            dc = dc[idx]
+        else:
+            dk = np.zeros((0,), np.int64)
+            dc = np.zeros((0, 3), np.int32)
+        per_chunk.append((dc, dk))
+        Ud = max(Ud, len(dk) + 1)
+    Ud = ((Ud + 7) // 8) * 8
+    dsrc = np.zeros((nc, Ud, 8), np.int32)
+    ldual = np.zeros((capacity, 8), np.int32)
+    for c in range(nc):
+        dc, dk = per_chunk[c]
+        if len(dc):
+            dsrc[c, 1 : len(dc) + 1] = src_rows(dc)
+            r0, r1 = c * C_, (c + 1) * C_
+            rows = np.arange(r0, r1)
+            act = (rows >= 1) & (rows <= n)
+            if act.any():
+                qc = (origins[r0:r1][act][:, None, :]
+                      + _DUAL_OFFSETS[None])  # [m, 8, 3]
+                ldual[rows[act]] = (
+                    np.searchsorted(dk, pack64(qc)) + 1
+                ).astype(np.int32)
+    return dsrc, ldual
+
+
 def build_topology(
     tile_coords: np.ndarray, capacity: Optional[int] = None
 ) -> Topology:
@@ -185,6 +265,7 @@ def build_topology(
         nbr[1 : n + 1] = np.where(found, pos_c + 1, 0).astype(np.int32)
 
     uq, ln = _chunk_plan(nbr, cap)
+    dsrc, ldual = _dual_plan(origins, keys_np, cap)
     return Topology(
         keys=jnp.asarray(full_keys),
         origins=jnp.asarray(origins),
@@ -192,6 +273,8 @@ def build_topology(
         n_active=jnp.asarray(n, jnp.int32),
         chunk_uniq=jnp.asarray(uq),
         chunk_lnbr=jnp.asarray(ln),
+        chunk_dsrc=jnp.asarray(dsrc),
+        chunk_ldual=jnp.asarray(ldual),
     )
 
 

@@ -174,6 +174,30 @@ def _advect_vmem(
 
     cfl = jnp.maximum(jnp.maximum(_amax(dx), _amax(dy)), _amax(dz))
 
+    if topo.chunk_dsrc is not None and pb.DUAL_TBL is not False:
+        # Dual-table mode: the narrow branch samples from the half-shifted
+        # S-row table (no in-kernel combine ladder — probe r4/044 measured
+        # it at 5-6 ms/scalar-pass) and the limiter bounds come from the
+        # memory-lean XLA face stencil instead of the kernel. min/max over
+        # the same {self, 6 faces} set with the same background-0 -> the
+        # bounds, and the clamped results, are bit-identical.
+        phi0s = jnp.stack(list(fields))
+        mins, maxs = sh.face_minmax_multi(topo, phi0s)
+        lohi = (jnp.minimum(phi0s, mins), jnp.maximum(phi0s, maxs))
+
+        def fused2(win):
+            def run(_):
+                pf, pbk = pb.bfecc_sample_fused(
+                    topo, base, dx, dy, dz, scaled_dt, f_lo, sdf, fast,
+                    win=win, minmax=False,
+                )
+                return jnp.stack(pf), jnp.stack(pbk)
+
+            return run
+
+        pf, pbk = jax.lax.cond(cfl < pb.CFL_LIMIT, fused2(16), fused2(24), 0)
+        return pf, pbk, lohi
+
     def fused(win):
         def run(_):
             pf, pbk, lo, hi = pb.bfecc_sample_fused(

@@ -109,19 +109,24 @@ def _split(x):
 
 
 def _assemble_stbl(G: int, nf: int, lnbr_ref, tbl_ref, stbl):
-    """Copy this group's 27 neighbor rows from the chunk table into scratch
-    (stbl [G, 27*nf, 8, 64], dx-major: row d*nf+f, d = (dx+1)*9+(dy+1)*3+(dz+1))."""
+    """Copy this group's neighbor rows from the chunk table into scratch.
+    27-table form: stbl [G, 27*nf, 8, 64], dx-major row d*nf+f with
+    d = (dx+1)*9+(dy+1)*3+(dz+1). Dual form (lnbr_ref [G, 8]): stbl
+    [G, 8*nf, 8, 64], window-major row W*nf+f, W = Xw*4+Yw*2+Zw — the
+    half-shifted S rows ARE the 16^3-window rows (see chunk_dsrc in
+    core/topology.py), so no in-kernel combine follows."""
+    nn = lnbr_ref.shape[1]
 
     def asm(i, carry):
-        g = i // 27
-        d = i % 27
+        g = i // nn
+        d = i % nn
         row = tbl_ref[0, pl.ds(lnbr_ref[g, d] * nf, nf)]
         if row.shape[-1] == 128:  # HBM-DMA form: lanes padded for the copy
             row = row[..., :64]
         stbl[g, pl.ds(d * nf, nf)] = row
         return carry
 
-    jax.lax.fori_loop(0, G * 27, asm, 0)
+    jax.lax.fori_loop(0, G * nn, asm, 0)
 
 
 def _combine_window16(nf: int, stbl, wtbl):
@@ -291,9 +296,11 @@ def _face_minmax(G, nf_all, f_lo, nf_out, stbl, out2_ref):
 
 
 def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False,
-                 hbm=False):
+                 hbm=False, dual=False):
     nf_out = nb - f_lo
     narrow = win == 16
+    assert not (dual and minmax), "dual table carries no face rows"
+    assert not dual or narrow, "dual plan covers the 16-window only"
     # NOTE: a full-bf16 data path (table/scratch/weights) was tried for the
     # fast tier and REVERTED: Mosaic's tpu.dynamic_rotate only supports
     # 32-bit element types, so the 16-window combine's rolls reject bf16 on
@@ -328,7 +335,16 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False,
             _assemble_stbl(G, nf_all, lnbr_ref, ctbl, stbl)
         else:
             _assemble_stbl(G, nf_all, lnbr_ref, tbl_ref, stbl)
-        if narrow:
+        if dual:
+            # stbl rows ARE the window rows (half-shifted S, window-major):
+            # no combine ladder, no separate wtbl scratch.
+            def rows_of(flo, fhi):
+                def rows(Xw, b):
+                    W = Xw * 4 + b
+                    return stbl[:, W * nf_all + flo : W * nf_all + fhi]
+
+                return rows
+        elif narrow:
             wtbl = scratch[1]
             _combine_window16(nf_all, stbl, wtbl)
 
@@ -398,18 +414,23 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False,
 
 
 def _vmem_need(U: int, nf_all: int, G: int, win: int,
-               hbm: bool = False) -> int:
+               hbm: bool = False, dual: bool = False) -> int:
     """Accurate VMEM requirement for one megakernel invocation: the chunk
     table (double-buffered block form, or single-buffered DMA scratch when
     ``hbm``; lanes 64 -> padded 128), the stbl (+win16 wtbl) scratch,
     double-buffered dx/dy/dz/out G-blocks, and a small fixed slack. Asking
     for more than needed is harmful: at 1024^3 (U=1920, nf=6) the old
     +32 MB cushion pushed the request to the 120 MB clamp and the whole
-    step program over the 128 MB chip budget."""
+    step program over the 128 MB chip budget. ``dual``: the table holds Ud
+    half-shifted S rows and the scratch 8 window rows per tile (no 27-row
+    stbl, no combine wtbl)."""
     tbl = (1 if hbm else 2) * U * nf_all * 8 * 128 * 4
-    scratch = 27 * G * nf_all * 8 * 128 * 4
-    if win == 16:
-        scratch += 8 * G * nf_all * 8 * 128 * 4
+    if dual:
+        scratch = 8 * G * nf_all * 8 * 128 * 4
+    else:
+        scratch = 27 * G * nf_all * 8 * 128 * 4
+        if win == 16:
+            scratch += 8 * G * nf_all * 8 * 128 * 4
     io = 2 * (3 + 2 * nf_all) * G * TILE * 4
     io += 2 * nf_all * G * 8 * 128 * 4  # minmax output (upper bound)
     # 10 MB covers Mosaic's own stack/semaphore overhead: measured 1.0 MB
@@ -448,9 +469,9 @@ def _stack_need(G: int, win: int, nf_out: int, prec: str) -> int:
 
 
 def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int,
-                         hbm: bool, prec: str) -> int:
+                         hbm: bool, prec: str, dual: bool = False) -> int:
     nf = nf_min
-    while (_vmem_need(U, nf + 1, G, win, hbm)
+    while (_vmem_need(U, nf + 1, G, win, hbm, dual)
            + _stack_need(G, win, nf + 1 - nf_min, prec)) <= SAFE_VMEM:
         nf += 1
     return nf
@@ -458,20 +479,21 @@ def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int,
 
 @functools.lru_cache(maxsize=None)
 def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
-           minmax=False, hbm=False, group=None):
+           minmax=False, hbm=False, group=None, dual=False):
     G = min(group or _group_cap(f_lo, win), C)
     gpc = C // G
     nf_out = nb - f_lo
+    nn = 8 if dual else 27
     # The compiler carves its scoped stack (kernel register temps: W/B
     # operands, t1, bcache spans — see _stack_need) out of
     # vmem_limit_bytes AFTER the declared buffers; request less and the
     # stack allocation trips the scoped limit, request more and the whole
     # step program can exceed the 128 MB chip budget.
     vmem = min(120 * 1024 * 1024,
-               _vmem_need(U, nf_all, G, win, hbm)
+               _vmem_need(U, nf_all, G, win, hbm, dual)
                + _stack_need(G, win, nf_out, prec) + 6 * 1024 * 1024)
-    scratch = [pltpu.VMEM((G, 27 * nf_all, 8, 64), jnp.float32)]
-    if win == 16:
+    scratch = [pltpu.VMEM((G, nn * nf_all, 8, 64), jnp.float32)]
+    if win == 16 and not dual:
         scratch.append(pltpu.VMEM((G, 8 * nf_all, 8, 64), jnp.float32))
     if hbm:
         # DMA slices must be 128-lane aligned: the HBM table (and its VMEM
@@ -497,10 +519,10 @@ def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
                      jax.ShapeDtypeStruct((T, nf_out, 8, 128), jnp.float32)]
     return pl.pallas_call(
         _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax,
-                     hbm),
+                     hbm, dual),
         grid=(nc, gpc),
         in_specs=[
-            pl.BlockSpec((G, 27), lambda c, g: (c * gpc + g, 0),
+            pl.BlockSpec((G, nn), lambda c, g: (c * gpc + g, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((G, TILE), lambda c, g: (c * gpc + g, 0),
                          memory_space=pltpu.VMEM),
@@ -536,11 +558,72 @@ def build_table(topo, fields: Sequence[jax.Array], dtype=jnp.float32) -> jax.Arr
     return tbl.reshape(nc, U * nf, 8, 64)
 
 
+def _dual_lane_maps():
+    """(octant masks [8][512] bool in SOURCE lane space, PERM [512]) for the
+    half-shift combine: dest lane l of S takes source lane l ^ (4,4,4)
+    (= col ^ 292 in the x*64+y*8+z packing) of source j(l); in source space
+    octant j = (bx,by,bz) owns lanes with (x'<4)==bx per axis."""
+    import numpy as _np
+
+    lane = _np.arange(512)
+    lx, ly, lz = lane // 64, (lane // 8) % 8, lane % 8
+    masks = []
+    for j in range(8):
+        bx, by, bz = (j >> 2) & 1, (j >> 1) & 1, j & 1
+        masks.append(((lx < 4) == bx) & ((ly < 4) == by) & ((lz < 4) == bz))
+    return masks, lane ^ 292
+
+
+def build_table_dual(topo, fields: Sequence[jax.Array],
+                     dsrc: Optional[jax.Array] = None) -> jax.Array:
+    """Per-chunk unique HALF-SHIFTED rows S[d][l] = f[d*8 + l - 4] of all
+    ``fields`` in the megakernel layout [nc, Ud*nf, 8, 64] (row u*nf+f).
+    Each S row is an octant-masked 8-way select of its source rows followed
+    by ONE shared static lane permutation — the entire 16^3-window combine
+    (formerly ~5-6 ms of in-kernel roll ladders per scalar pass) done as
+    HBM-bound XLA. The gathers are barrier-chained (sequentially dependent)
+    so at-scale slices never hold all eight [R, nf*512] transients at once
+    (NOTES r3 fact 24)."""
+    nf = len(fields)
+    packed = jnp.stack(list(fields), axis=1).reshape(
+        topo.capacity, nf * 512
+    )
+    if dsrc is None:
+        dsrc = topo.chunk_dsrc
+    nc, Ud, _ = dsrc.shape
+    masks, perm = _dual_lane_maps()
+    import numpy as _np
+
+    # Chain the gathers only when their transients are big enough to
+    # matter: serializing them costs ~45% of the build in small domains
+    # (probe r4/046: 9.7 vs 6.3 ms at bench size — the gathers are
+    # DESCRIPTOR-bound, and chaining adds full completion stalls).
+    chain = nc * Ud * nf * 512 * 4 > 256 * 1024 * 1024
+    acc = jnp.zeros((nc * Ud, nf * 512), jnp.float32)
+    for j in range(8):
+        rows = jnp.take(packed, dsrc[:, :, j].reshape(-1), axis=0)
+        m = jnp.asarray(_np.tile(masks[j], nf))
+        acc = jnp.where(m, rows, acc)
+        if chain:
+            acc, packed = jax.lax.optimization_barrier((acc, packed))
+    perm_nf = jnp.asarray(
+        (_np.arange(nf)[:, None] * 512 + perm[None]).reshape(-1)
+    )
+    S = jnp.take(acc, perm_nf, axis=1)
+    return S.reshape(nc, Ud * nf, 8, 64)
+
+
 # Chunk-table residency: True = HBM table + in-kernel per-chunk DMA,
 # False = VMEM block specs (double-buffered), None = auto (HBM on real
 # TPU; interpret mode keeps the block form — it doesn't model DMA
 # semaphores). Override for A/B probes only.
 HBM_TBL: Optional[bool] = None
+
+# Dual (half-shifted) table for the narrow window: True = always (when the
+# topology carries a dual plan and the caller doesn't need in-kernel minmax),
+# False = never (27-table + in-kernel combine), None = auto (= True; the
+# combine ladder measured 5-6 ms/scalar-pass at bench size, probe r4/044).
+DUAL_TBL: Optional[bool] = None
 
 
 # Table-memory governor: the gathered unique-row table is ~1.5-2x the
@@ -578,6 +661,7 @@ def bfecc_sample_fused(
     win: int = 16,
     slices: Optional[int] = None,
     minmax: bool = False,
+    dual: Optional[bool] = None,
 ) -> Tuple[List[jax.Array], ...]:
     """Fused BFECC sampling: returns (phiF list over fields[f_lo:],
     phiB list over fields[f_lo:]). ``fields[0:3]`` MUST be the velocity
@@ -596,17 +680,31 @@ def bfecc_sample_fused(
     ``slices``: split the chunk axis into this many sequential kernel
     invocations (lax.scan) so only 1/slices of the gathered table is live
     at once; None = auto by TABLE_BYTES_BUDGET. Bit-identical to the
-    unsliced call (chunks are independent)."""
+    unsliced call (chunks are independent).
+
+    ``dual``: use the half-shifted (corner-lattice) table for the narrow
+    window — the window combine runs as HBM-bound XLA in build_table_dual
+    and the kernel assembles 8 rows/tile instead of 27 (+ the roll ladder).
+    Requires ``minmax=False`` (bounds come from the XLA clamp instead) and
+    a topology with a dual plan. None = module default DUAL_TBL. Outputs
+    are bit-identical to the 27-table narrow kernel."""
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(prec, bool):
         prec = "fast" if prec else "strict"
     assert win in (16, 24), win
+    use_dual = DUAL_TBL if dual is None else dual
+    if use_dual is None:
+        use_dual = True
+    use_dual = bool(use_dual and win == 16 and not minmax
+                    and topo.chunk_dsrc is not None)
     nb = len(fields)
     all_fields = list(fields) + ([sdf] if sdf is not None else [])
     nf_all = len(all_fields)
     T = topo.capacity
     nc, U = topo.chunk_uniq.shape
+    if use_dual:
+        U = topo.chunk_dsrc.shape[1]
     C = T // nc
     nf_out = nb - f_lo
 
@@ -619,7 +717,7 @@ def bfecc_sample_fused(
     g = min(_group_cap(f_lo, int(win)), C)
 
     def _fits(gg: int) -> bool:
-        return (_vmem_need(U, nf_all, gg, int(win), hbm)
+        return (_vmem_need(U, nf_all, gg, int(win), hbm, use_dual)
                 + _stack_need(gg, int(win), nf_out, prec)) <= SAFE_VMEM
 
     group = None
@@ -638,15 +736,15 @@ def bfecc_sample_fused(
         if gg >= 8:
             group = gg
         elif f_lo == 3 and nf_out > 1:
-            per = max(1, _max_fields_for_vmem(U, g, int(win),
-                                              nf_fixed, hbm, prec) - nf_fixed)
+            per = max(1, _max_fields_for_vmem(U, g, int(win), nf_fixed,
+                                              hbm, prec, use_dual) - nf_fixed)
             parts: Tuple[List[jax.Array], ...] = ([], [], [], [])
             for lo in range(3, nb, per):
                 batch = list(fields[:3]) + list(fields[lo:lo + per])
                 res = bfecc_sample_fused(
                     topo, batch, dx, dy, dz, sdt, 3, sdf=sdf, prec=prec,
                     interpret=interpret, win=win, slices=slices,
-                    minmax=minmax)
+                    minmax=minmax, dual=dual)
                 for acc, part in zip(parts, res):
                     acc += part
             return parts[:len(res)]
@@ -668,13 +766,18 @@ def bfecc_sample_fused(
         )
 
     if slices <= 1:
-        tbl = build_table(topo, all_fields)
+        if use_dual:
+            tbl = build_table_dual(topo, all_fields)
+            lnbr = topo.chunk_ldual
+        else:
+            tbl = build_table(topo, all_fields)
+            lnbr = topo.chunk_lnbr
         if hbm:
             tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, 0), (0, 64)))
         fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None,
                     float(sdt), bool(interpret), prec, int(win),
-                    minmax, hbm, group)
-        out = fn(topo.chunk_lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
+                    minmax, hbm, group, use_dual)
+        out = fn(lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
         out, out2 = out if minmax else (out, None)
         return unpack(out, out2)
 
@@ -694,10 +797,28 @@ def bfecc_sample_fused(
         # held across every slice
         fn = _build(ncall, U, C, ncall * C, nf_all, nb, f_lo, sdf is not None,
                     float(sdt), bool(interpret), prec, int(win), minmax, hbm,
-                    group)
-        cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],
-                         axis=1)  # [ncall*U, nf, 512]
-        tbl = cols.reshape(ncall, U * nf_all, 8, 64)
+                    group, use_dual)
+        if use_dual:
+            # uq is this slice's dsrc [ncall*U, 8]; octant-select the 8
+            # source gathers sequentially (barrier-chained — only one
+            # [R, nf, 512] transient pair is ever live), then the shared
+            # lane permutation (see build_table_dual).
+            masks, perm = _dual_lane_maps()
+            import numpy as _np
+
+            acc = jnp.zeros((ncall * U, nf_all, 512), jnp.float32)
+            for j in range(8):
+                rows = jnp.stack(
+                    [jnp.take(f, uq[:, j], axis=0) for f in all_fields],
+                    axis=1)  # [ncall*U, nf, 512]
+                acc = jnp.where(jnp.asarray(masks[j]), rows, acc)
+                acc, dxs = jax.lax.optimization_barrier((acc, dxs))
+            tbl = jnp.take(acc, jnp.asarray(_np.asarray(perm)), axis=2)
+            tbl = tbl.reshape(ncall, U * nf_all, 8, 64)
+        else:
+            cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],
+                             axis=1)  # [ncall*U, nf, 512]
+            tbl = cols.reshape(ncall, U * nf_all, 8, 64)
         if hbm:
             tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, 0), (0, 64)))
         return fn(ln, dxs, dys, dzs, tbl)
@@ -707,19 +828,31 @@ def bfecc_sample_fused(
     # pre-reshaping whole-domain copies into scan xs: the xs form held
     # duplicate [rows, 512] copies of dx/dy/dz (+lnbr) alongside the
     # originals — ~3 GB of the 1024^3 OOM (probe r4/002).
-    uq_flat = topo.chunk_uniq.reshape(-1)
+    if use_dual:
+        uq_flat = topo.chunk_dsrc.reshape(-1, 8)
+        ln_full = topo.chunk_ldual
+        nn = 8
+    else:
+        uq_flat = topo.chunk_uniq.reshape(-1)
+        ln_full = topo.chunk_lnbr
+        nn = 27
 
     def body(carry, i):
         r0 = i * (ncs * C)
-        uq = jax.lax.dynamic_slice(uq_flat, (i * ncs * U,), (ncs * U,))
-        ln = jax.lax.dynamic_slice(topo.chunk_lnbr, (r0, 0), (ncs * C, 27))
+        if use_dual:
+            uq = jax.lax.dynamic_slice(
+                uq_flat, (i * ncs * U, 0), (ncs * U, 8))
+        else:
+            uq = jax.lax.dynamic_slice(uq_flat, (i * ncs * U,), (ncs * U,))
+        ln = jax.lax.dynamic_slice(ln_full, (r0, 0), (ncs * C, nn))
         sl = lambda a: jax.lax.dynamic_slice(a, (r0, 0), (ncs * C, TILE))  # noqa: E731
         return carry, run(ncs, uq, ln, sl(dx), sl(dy), sl(dz))
 
     _, outs = jax.lax.scan(body, 0, jnp.arange(full))
     tail = (
-        run(rem, topo.chunk_uniq[full * ncs :].reshape(rem * U),
-            topo.chunk_lnbr[rows:], dx[rows:], dy[rows:], dz[rows:])
+        run(rem,
+            uq_flat[full * ncs * U :],
+            ln_full[rows:], dx[rows:], dy[rows:], dz[rows:])
         if rem else None
     )
     if minmax:

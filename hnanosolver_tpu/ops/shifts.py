@@ -106,6 +106,10 @@ def face_minmax_multi(topo: Topology, fields: jax.Array):
                          jnp.roll(fields, s_in, axis=-1))
         mins = view if mins is None else jnp.minimum(mins, view)
         maxs = view if maxs is None else jnp.maximum(maxs, view)
+        # chain the source through each reduction so XLA cannot co-schedule
+        # the six data-independent gathers (identity values, bit-exact —
+        # see neighbor_sum; unchained, all six views were live at once)
+        mins, packed = jax.lax.optimization_barrier((mins, packed))
     return mins, maxs
 
 

@@ -291,3 +291,68 @@ def test_field_batched_matches_unbatched(monkeypatch):
     assert len(f1) == 3 and len(b1) == 3
     for a, b in zip(f0 + b0, f1 + b1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dual_table_bit_identical():
+    """The half-shifted dual-table narrow kernel is pure data re-routing:
+    outputs must equal the 27-table + in-kernel-combine kernel BIT-FOR-BIT
+    (scalars and velocity modes, with and without SDF rejection)."""
+    rng = np.random.default_rng(11)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    assert topo.chunk_dsrc is not None
+    vel = _rand_fields(rng, T, 3)
+    fields = vel + _rand_fields(rng, T, 2)
+    sdf = jnp.asarray(rng.normal(size=(T, 512)).astype(np.float32))
+    sdt = 0.35
+    dx = jnp.clip(-vel[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-vel[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-vel[2] * sdt, -1.8, 1.8)
+    for f_lo, s in ((3, None), (3, sdf), (0, None), (0, sdf)):
+        fl = fields if f_lo == 3 else vel
+        want = pb.bfecc_sample_fused(
+            topo, fl, dx, dy, dz, sdt, f_lo, s, "strict", interpret=True,
+            dual=False)
+        got = pb.bfecc_sample_fused(
+            topo, fl, dx, dy, dz, sdt, f_lo, s, "strict", interpret=True,
+            dual=True)
+        for a, b in zip(want[0] + want[1], got[0] + got[1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dual_sliced_bit_identical():
+    """The sliced (table-memory-governor) dual path builds its per-slice
+    tables from per-field octant gathers — bit-identical to unsliced."""
+    rng = np.random.default_rng(12)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    vel = _rand_fields(rng, T, 3)
+    fields = vel + _rand_fields(rng, T, 2)
+    sdt = 0.3
+    dx = jnp.clip(-vel[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-vel[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-vel[2] * sdt, -1.8, 1.8)
+    want = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True,
+        dual=True, slices=1)
+    got = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True,
+        dual=True, slices=2)
+    for a, b in zip(want[0] + want[1], got[0] + got[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_advect_scalars_dual_matches_27table(monkeypatch):
+    """advect_scalars_fused end-to-end: dual mode (XLA limiter bounds) vs
+    the in-kernel-minmax 27-table mode — bit-identical clamped results."""
+    rng = np.random.default_rng(13)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    vel = jnp.stack(_rand_fields(rng, T, 3))
+    scal = {"d": _rand_fields(rng, T, 1)[0], "t": _rand_fields(rng, T, 1)[0]}
+    out_dual = adv.advect_scalars_fused(topo, vel, dict(scal), 0.04, 2.0)
+    monkeypatch.setattr(pb, "DUAL_TBL", False)
+    out_old = adv.advect_scalars_fused(topo, vel, dict(scal), 0.04, 2.0)
+    for k in scal:
+        np.testing.assert_array_equal(
+            np.asarray(out_dual[k]), np.asarray(out_old[k]))
