@@ -43,8 +43,13 @@ ROUND_GAP_S = 20.0  # pause between rounds so the rounds SPAN congestion
 # windows (they change on the minutes scale) instead of sampling one window
 LATE_GAP_S = 120.0  # wider spacing for the extra rounds: sample FARTHER
 # windows instead of resampling the same congested one
-WALL_BUDGET_S = 2400.0  # hard cap on total measurement wall-clock
-QUIET_STEP_REF_S = 0.028  # congestion detector: round 2 RECORDED 27.18 ms
+WALL_BUDGET_S = 1100.0  # hard cap on total measurement wall-clock. Keep
+# WELL under any plausible driver timeout: a killed bench records NOTHING,
+# which is strictly worse than a congested number (the r3 mid-round run
+# burned its full 40-min budget with all 20 rounds congested — probe 049).
+QUIET_STEP_REF_S = 0.022  # congestion detector reference: the dual-table
+# balanced binary's probe-window step was ~39.5 ms at ~2x congestion
+# (probe 048); a genuinely quiet window is ~20 ms
 # on a strictly slower binary (strict precision, 1.46x capacity slack), so
 # a per-step slope above ~1.3x that on today's binary means the chip is
 # time-shared right now, not that the step got slower — keep sampling.

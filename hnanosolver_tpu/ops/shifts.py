@@ -89,28 +89,68 @@ def neighbor_sum(topo: Topology, f: jax.Array) -> jax.Array:
     return v[0] + v[1] + v[2] + v[3] + v[4] + v[5]
 
 
+# Transient budget for face_minmax_multi: above this, the bounds run in
+# sequential ROW BLOCKS (a fori_loop writing into preallocated outputs) so
+# only block-sized view/gather temps are live. At 1024^3 even single-field
+# [1, T, 512] view temps are ~0.5 GB each and several co-scheduled copies
+# blew the 430 MB headroom of the radius-248 envelope (probe r4/051).
+MINMAX_VIEWS_BUDGET = 256 * 1024 * 1024
+
+
 def face_minmax_multi(topo: Topology, fields: jax.Array):
     """Per-voxel (min, max) over the six face-shifted views of F stacked
     fields, computed one direction at a time — the memory-lean form of
     ``face_views_multi`` for at-scale domains, where materializing
     [6, F, T, 512] (plus its gather) costs 2 x 6F field-bytes (16 GB each
-    at 1024^3 with 5 fields). Peak here is ONE view [F, T, 512]."""
+    at 1024^3 with 5 fields). Peak here is ONE view [F, T, 512], and
+    above MINMAX_VIEWS_BUDGET one block-sized slice of it."""
     F, T, _ = fields.shape
-    packed = jnp.moveaxis(fields, 0, 1).reshape(T, F * TILE)
-    mins = maxs = None
-    for off in FACE_DIRS:
-        mask, s_in, s_fix = _DIRS[off]
-        nbr = jnp.take(packed, topo.nbr[:, d_of(off)], axis=0)
-        nbr = jnp.moveaxis(nbr.reshape(T, F, TILE), 1, 0)
-        view = jnp.where(mask, jnp.roll(nbr, s_fix, axis=-1),
-                         jnp.roll(fields, s_in, axis=-1))
-        mins = view if mins is None else jnp.minimum(mins, view)
-        maxs = view if maxs is None else jnp.maximum(maxs, view)
-        # chain the source through each reduction so XLA cannot co-schedule
-        # the six data-independent gathers (identity values, bit-exact —
-        # see neighbor_sum; unchained, all six views were live at once)
-        mins, packed = jax.lax.optimization_barrier((mins, packed))
-    return mins, maxs
+    nblk = 1
+    if F * T * TILE * 4 > MINMAX_VIEWS_BUDGET:
+        # largest power-of-two block count that divides T (capacity is a
+        # multiple of the 512-tile chunk, so small powers always divide)
+        want = -(-(F * T * TILE * 4) // MINMAX_VIEWS_BUDGET)
+        while nblk < want and T % (nblk * 2) == 0:
+            nblk *= 2
+
+    # the gather must reach ANY neighbor row, so blocks gather from the
+    # full packed fields; only the view/gather temps shrink with the block
+    packed_full = jnp.moveaxis(fields, 0, 1).reshape(T, F * TILE)
+    nbr6 = jnp.stack([topo.nbr[:, d_of(off)] for off in FACE_DIRS], axis=1)
+
+    def block(fields_b, nbr_b):
+        mins = maxs = None
+        for i, off in enumerate(FACE_DIRS):
+            mask, s_in, s_fix = _DIRS[off]
+            nbr = jnp.take(packed_full, nbr_b[:, i], axis=0)
+            nbr = jnp.moveaxis(nbr.reshape(-1, F, TILE), 1, 0)
+            view = jnp.where(mask, jnp.roll(nbr, s_fix, axis=-1),
+                             jnp.roll(fields_b, s_in, axis=-1))
+            mins = view if mins is None else jnp.minimum(mins, view)
+            maxs = view if maxs is None else jnp.maximum(maxs, view)
+            # chain the index source through each reduction so XLA cannot
+            # co-schedule the six data-independent gathers (identity
+            # values, bit-exact — see neighbor_sum)
+            mins, nbr_b = jax.lax.optimization_barrier((mins, nbr_b))
+        return mins, maxs
+
+    if nblk <= 1:
+        return block(fields, nbr6)
+
+    B = T // nblk
+
+    def body(k, acc):
+        mins, maxs = acc
+        r0 = k * B
+        fb = jax.lax.dynamic_slice(fields, (0, r0, 0), (F, B, TILE))
+        nb = jax.lax.dynamic_slice(nbr6, (r0, 0), (B, 6))
+        mb, xb = block(fb, nb)
+        mins = jax.lax.dynamic_update_slice(mins, mb, (0, r0, 0))
+        maxs = jax.lax.dynamic_update_slice(maxs, xb, (0, r0, 0))
+        return mins, maxs
+
+    init = (jnp.zeros_like(fields), jnp.zeros_like(fields))
+    return jax.lax.fori_loop(0, nblk, body, init)
 
 
 def face_views_multi(topo: Topology, fields: jax.Array) -> jax.Array:

@@ -356,3 +356,19 @@ def test_advect_scalars_dual_matches_27table(monkeypatch):
     for k in scal:
         np.testing.assert_array_equal(
             np.asarray(out_dual[k]), np.asarray(out_old[k]))
+
+
+def test_face_minmax_blocked_matches(monkeypatch):
+    """face_minmax_multi's row-block form (the 1024^3 transient governor)
+    is bit-identical to the whole-domain form."""
+    import hnanosolver_tpu.ops.shifts as sh
+
+    rng = np.random.default_rng(17)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    fields = jnp.stack(_rand_fields(rng, T, 2))
+    want = sh.face_minmax_multi(topo, fields)
+    monkeypatch.setattr(sh, "MINMAX_VIEWS_BUDGET", T * 512)  # forces blocks
+    got = sh.face_minmax_multi(topo, fields)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
