@@ -574,16 +574,51 @@ def _dual_lane_maps():
     return masks, lane ^ 292
 
 
+@functools.lru_cache(maxsize=None)
+def _oct_maps(nf: int):
+    """Static lane maps for the OCTANT-PACKED dual build (row gathers are
+    bytes-bound at ~190 GB/s effective — NOTES fact 29 — and octant j uses
+    only 64 of a gathered row's 512 lanes, so gather 64-lane packed
+    octants instead: 8x fewer bytes, measured 3.1 vs 6.4 ms at bench size,
+    probe r4/065). Returns (oct_cols [8][nf*64] — packed-field columns of
+    each octant, field-major; reasm [nf*512] — reassembly permutation over
+    the gathered concat [rows_0 | ... | rows_7])."""
+    import numpy as _np
+
+    masks, perm = _dual_lane_maps()
+    oct_lanes = [_np.nonzero(m)[0] for m in masks]
+    pos_in_oct = _np.zeros(512, _np.int64)
+    oct_of = _np.zeros(512, _np.int64)
+    for j in range(8):
+        pos_in_oct[oct_lanes[j]] = _np.arange(64)
+        oct_of[oct_lanes[j]] = j
+    f_idx = _np.arange(nf)
+    # cache NUMPY int32 only: a cached jnp array created inside one trace
+    # (int64 -> canonical int32 conversion is a traced op) leaks tracers
+    # into later traces
+    oct_cols = [
+        ((f_idx[:, None] * 512 + oct_lanes[j][None])
+         .reshape(-1).astype(_np.int32))
+        for j in range(8)
+    ]
+    src = perm  # dest lane l reads source lane perm[l]
+    reasm = (oct_of[src][None] * (nf * 64)
+             + f_idx[:, None] * 64 + pos_in_oct[src][None]).reshape(-1)
+    return oct_cols, reasm.astype(_np.int32)
+
+
 def build_table_dual(topo, fields: Sequence[jax.Array],
                      dsrc: Optional[jax.Array] = None) -> jax.Array:
     """Per-chunk unique HALF-SHIFTED rows S[d][l] = f[d*8 + l - 4] of all
     ``fields`` in the megakernel layout [nc, Ud*nf, 8, 64] (row u*nf+f).
-    Each S row is an octant-masked 8-way select of its source rows followed
-    by ONE shared static lane permutation — the entire 16^3-window combine
-    (formerly ~5-6 ms of in-kernel roll ladders per scalar pass) done as
-    HBM-bound XLA. The gathers are barrier-chained (sequentially dependent)
-    so at-scale slices never hold all eight [R, nf*512] transients at once
-    (NOTES r3 fact 24)."""
+    Each S row takes one OCTANT from each of its 8 source rows, so the
+    build gathers octant-PACKED 64-lane slices (8x fewer gathered bytes
+    than full rows — probe r4/065: 3.1 vs 6.4 ms at bench size) and
+    reassembles with one static lane permutation. This is the entire
+    16^3-window combine (formerly ~5-6 ms of in-kernel roll ladders per
+    scalar pass) as byte-minimal XLA. Gathers are barrier-chained above a
+    transient budget so at-scale slices never hold all eight row
+    transients at once (NOTES r3 fact 24)."""
     nf = len(fields)
     packed = jnp.stack(list(fields), axis=1).reshape(
         topo.capacity, nf * 512
@@ -591,25 +626,21 @@ def build_table_dual(topo, fields: Sequence[jax.Array],
     if dsrc is None:
         dsrc = topo.chunk_dsrc
     nc, Ud, _ = dsrc.shape
-    masks, perm = _dual_lane_maps()
-    import numpy as _np
-
-    # Chain the gathers only when their transients are big enough to
-    # matter: serializing them costs ~45% of the build in small domains
-    # (probe r4/046: 9.7 vs 6.3 ms at bench size — the gathers are
-    # DESCRIPTOR-bound, and chaining adds full completion stalls).
-    chain = nc * Ud * nf * 512 * 4 > 256 * 1024 * 1024
-    acc = jnp.zeros((nc * Ud, nf * 512), jnp.float32)
+    oct_cols, reasm = _oct_maps(nf)
+    oct_cols = [jnp.asarray(c) for c in oct_cols]
+    reasm = jnp.asarray(reasm)
+    chain = nc * Ud * nf * 64 * 4 * 8 > 256 * 1024 * 1024
+    parts = []
     for j in range(8):
-        rows = jnp.take(packed, dsrc[:, :, j].reshape(-1), axis=0)
-        m = jnp.asarray(_np.tile(masks[j], nf))
-        acc = jnp.where(m, rows, acc)
+        Pj = jnp.take(packed, oct_cols[j], axis=1)  # [T, nf*64]
+        rows = jnp.take(Pj, dsrc[:, :, j].reshape(-1), axis=0)
         if chain:
-            acc, packed = jax.lax.optimization_barrier((acc, packed))
-    perm_nf = jnp.asarray(
-        (_np.arange(nf)[:, None] * 512 + perm[None]).reshape(-1)
-    )
-    S = jnp.take(acc, perm_nf, axis=1)
+            # gather j+1 reads packed, which now depends on gather j's
+            # result (identity values, bit-exact) — bounds the transients
+            packed, rows = jax.lax.optimization_barrier((packed, rows))
+        parts.append(rows)
+    cat = jnp.concatenate(parts, axis=1)  # [R, 8*nf*64]
+    S = jnp.take(cat, reasm, axis=1)  # [R, nf*512]
     return S.reshape(nc, Ud * nf, 8, 64)
 
 
@@ -790,6 +821,20 @@ def bfecc_sample_fused(
     full = nc // ncs
     rem = nc - full * ncs
 
+    if use_dual:
+        # octant-packed splits, built per FIELD (their total bytes equal
+        # the fields' own — the [T, nf*512] resident pack the sliced path
+        # exists to avoid is never materialized)
+        import numpy as _np
+
+        masks, _perm = _dual_lane_maps()
+        _lanes = [jnp.asarray(_np.nonzero(m)[0]) for m in masks]
+        psplit = [
+            jnp.stack([jnp.take(f, _lanes[j], axis=1) for f in all_fields],
+                      axis=1).reshape(T, nf_all * 64)
+            for j in range(8)
+        ]
+
     def run(ncall, uq, ln, dxs, dys, dzs):
         # per-field gathers (vs the unsliced path's packed pre-gather copy):
         # nf-fold more descriptors over 1/slices of the rows, but no
@@ -799,21 +844,18 @@ def bfecc_sample_fused(
                     float(sdt), bool(interpret), prec, int(win), minmax, hbm,
                     group, use_dual)
         if use_dual:
-            # uq is this slice's dsrc [ncall*U, 8]; octant-select the 8
-            # source gathers sequentially (barrier-chained — only one
-            # [R, nf, 512] transient pair is ever live), then the shared
-            # lane permutation (see build_table_dual).
-            masks, perm = _dual_lane_maps()
-            import numpy as _np
-
-            acc = jnp.zeros((ncall * U, nf_all, 512), jnp.float32)
+            # uq is this slice's dsrc [ncall*U, 8]; gather from the
+            # octant-packed splits (built once outside the scan; their
+            # total bytes equal the fields' — no [T, nf*512] copy), then
+            # the shared reassembly permutation (see build_table_dual).
+            # Barrier-chained so one slice holds one gather at a time.
+            parts = []
             for j in range(8):
-                rows = jnp.stack(
-                    [jnp.take(f, uq[:, j], axis=0) for f in all_fields],
-                    axis=1)  # [ncall*U, nf, 512]
-                acc = jnp.where(jnp.asarray(masks[j]), rows, acc)
-                acc, dxs = jax.lax.optimization_barrier((acc, dxs))
-            tbl = jnp.take(acc, jnp.asarray(_np.asarray(perm)), axis=2)
+                rows = jnp.take(psplit[j], uq[:, j], axis=0)
+                dxs, rows = jax.lax.optimization_barrier((dxs, rows))
+                parts.append(rows)
+            cat = jnp.concatenate(parts, axis=1)
+            tbl = jnp.take(cat, jnp.asarray(_oct_maps(nf_all)[1]), axis=1)
             tbl = tbl.reshape(ncall, U * nf_all, 8, 64)
         else:
             cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],

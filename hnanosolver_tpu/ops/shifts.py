@@ -97,13 +97,35 @@ def neighbor_sum(topo: Topology, f: jax.Array) -> jax.Array:
 MINMAX_VIEWS_BUDGET = 256 * 1024 * 1024
 
 
+def _plane_maps(F: int):
+    """Static lane maps for the face-plane-packed bounds gather: a face
+    view consumes only the 64-lane plane of each neighbor row that touches
+    the boundary, so gather THAT plane instead of the full row (8x fewer
+    gathered bytes — probe r4/065). Per direction: (boundary mask [512]
+    bool, plane columns [F*64] into packed fields, expansion index [512]
+    mapping boundary lanes to their plane slot)."""
+    maps = []
+    for off in FACE_DIRS:
+        mask, s_in, s_fix = _DIRS[off]
+        mnp = np.asarray(mask).reshape(-1)
+        bl = np.nonzero(mnp)[0]  # 64 boundary (dest) lanes
+        src_l = (bl - s_fix) % TILE  # the neighbor's contributing plane
+        pcols = (np.arange(F)[:, None] * TILE + src_l[None]).reshape(-1)
+        exp_idx = np.zeros(TILE, np.int64)
+        exp_idx[bl] = np.arange(64)
+        maps.append((jnp.asarray(mnp), int(s_in), jnp.asarray(pcols),
+                     jnp.asarray(exp_idx)))
+    return maps
+
+
 def face_minmax_multi(topo: Topology, fields: jax.Array):
     """Per-voxel (min, max) over the six face-shifted views of F stacked
-    fields, computed one direction at a time — the memory-lean form of
-    ``face_views_multi`` for at-scale domains, where materializing
-    [6, F, T, 512] (plus its gather) costs 2 x 6F field-bytes (16 GB each
-    at 1024^3 with 5 fields). Peak here is ONE view [F, T, 512], and
-    above MINMAX_VIEWS_BUDGET one block-sized slice of it."""
+    fields. Byte-minimal: per direction, only each neighbor row's 64-lane
+    touching plane is gathered (8x fewer bytes than full rows; the in-tile
+    part is a lane roll of the fields themselves). Above
+    MINMAX_VIEWS_BUDGET the bounds run in sequential row blocks
+    (barrier-chained) so only block-sized temps are live — at 1024^3 even
+    single-field [1, T, 512] view temps are ~0.5 GB (probe r4/051)."""
     F, T, _ = fields.shape
     nblk = 1
     if F * T * TILE * 4 > MINMAX_VIEWS_BUDGET:
@@ -113,29 +135,32 @@ def face_minmax_multi(topo: Topology, fields: jax.Array):
         while nblk < want and T % (nblk * 2) == 0:
             nblk *= 2
 
-    # the gather must reach ANY neighbor row, so blocks gather from the
-    # full packed fields; only the view/gather temps shrink with the block
-    packed_full = jnp.moveaxis(fields, 0, 1).reshape(T, F * TILE)
+    maps = _plane_maps(F)
+    packed = jnp.moveaxis(fields, 0, 1).reshape(T, F * TILE)
+    # ONE fused lane-extraction pass for all six directions' planes
+    allcols = jnp.concatenate([m[2] for m in maps])
+    P = jnp.take(packed, allcols, axis=1)  # [T, 6*F*64]
     nbr6 = jnp.stack([topo.nbr[:, d_of(off)] for off in FACE_DIRS], axis=1)
 
-    def block(fields_b, nbr_b):
+    def block(fields_b, nbr_b, chain):
+        B = fields_b.shape[1]
         mins = maxs = None
-        for i, off in enumerate(FACE_DIRS):
-            mask, s_in, s_fix = _DIRS[off]
-            nbr = jnp.take(packed_full, nbr_b[:, i], axis=0)
-            nbr = jnp.moveaxis(nbr.reshape(-1, F, TILE), 1, 0)
-            view = jnp.where(mask, jnp.roll(nbr, s_fix, axis=-1),
-                             jnp.roll(fields_b, s_in, axis=-1))
+        for i, (mnp, s_in, _pc, exp_idx) in enumerate(maps):
+            g = jnp.take(P[:, i * F * 64:(i + 1) * F * 64],
+                         nbr_b[:, i], axis=0)  # [B, F*64] plane values
+            g = g.reshape(B, F, 64).transpose(1, 0, 2)
+            ge = jnp.take(g, exp_idx, axis=2)  # [F, B, 512]
+            view = jnp.where(mnp, ge, jnp.roll(fields_b, s_in, axis=-1))
             mins = view if mins is None else jnp.minimum(mins, view)
             maxs = view if maxs is None else jnp.maximum(maxs, view)
-            # chain the index source through each reduction so XLA cannot
-            # co-schedule the six data-independent gathers (identity
-            # values, bit-exact — see neighbor_sum)
-            mins, nbr_b = jax.lax.optimization_barrier((mins, nbr_b))
+            if chain:
+                # serialize the six gathers (identity, bit-exact) so an
+                # at-scale block never holds them all at once
+                mins, nbr_b = jax.lax.optimization_barrier((mins, nbr_b))
         return mins, maxs
 
     if nblk <= 1:
-        return block(fields, nbr6)
+        return block(fields, nbr6, chain=False)
 
     B = T // nblk
 
@@ -144,7 +169,7 @@ def face_minmax_multi(topo: Topology, fields: jax.Array):
         r0 = k * B
         fb = jax.lax.dynamic_slice(fields, (0, r0, 0), (F, B, TILE))
         nb = jax.lax.dynamic_slice(nbr6, (r0, 0), (B, 6))
-        mb, xb = block(fb, nb)
+        mb, xb = block(fb, nb, chain=True)
         mins = jax.lax.dynamic_update_slice(mins, mb, (0, r0, 0))
         maxs = jax.lax.dynamic_update_slice(maxs, xb, (0, r0, 0))
         return mins, maxs
