@@ -821,19 +821,6 @@ def bfecc_sample_fused(
     full = nc // ncs
     rem = nc - full * ncs
 
-    if use_dual:
-        # octant-packed splits, built per FIELD (their total bytes equal
-        # the fields' own — the [T, nf*512] resident pack the sliced path
-        # exists to avoid is never materialized)
-        import numpy as _np
-
-        masks, _perm = _dual_lane_maps()
-        _lanes = [jnp.asarray(_np.nonzero(m)[0]) for m in masks]
-        psplit = [
-            jnp.stack([jnp.take(f, _lanes[j], axis=1) for f in all_fields],
-                      axis=1).reshape(T, nf_all * 64)
-            for j in range(8)
-        ]
 
     def run(ncall, uq, ln, dxs, dys, dzs):
         # per-field gathers (vs the unsliced path's packed pre-gather copy):
@@ -844,18 +831,24 @@ def bfecc_sample_fused(
                     float(sdt), bool(interpret), prec, int(win), minmax, hbm,
                     group, use_dual)
         if use_dual:
-            # uq is this slice's dsrc [ncall*U, 8]; gather from the
-            # octant-packed splits (built once outside the scan; their
-            # total bytes equal the fields' — no [T, nf*512] copy), then
-            # the shared reassembly permutation (see build_table_dual).
-            # Barrier-chained so one slice holds one gather at a time.
-            parts = []
+            # uq is this slice's dsrc [ncall*U, 8]. At scale the octant-
+            # packed splits are NOT worth it: they are a resident copy of
+            # the full field bytes held across every slice, which put the
+            # 1024^3 envelope 107 MB over HBM (probe r4/071). Gather full
+            # rows per field instead (bytes-heavier, transient-light),
+            # octant-select, then the shared lane permutation.
+            import numpy as _np
+
+            masks, perm = _dual_lane_maps()
+            acc = jnp.zeros((ncall * U, nf_all, 512), jnp.float32)
             for j in range(8):
-                rows = jnp.take(psplit[j], uq[:, j], axis=0)
-                dxs, rows = jax.lax.optimization_barrier((dxs, rows))
-                parts.append(rows)
-            cat = jnp.concatenate(parts, axis=1)
-            tbl = jnp.take(cat, jnp.asarray(_oct_maps(nf_all)[1]), axis=1)
+                rows = jnp.stack(
+                    [jnp.take(f, uq[:, j], axis=0) for f in all_fields],
+                    axis=1)  # [ncall*U, nf, 512]
+                acc = jnp.where(jnp.asarray(masks[j]), rows, acc)
+                acc, dxs = jax.lax.optimization_barrier((acc, dxs))
+            tbl = jnp.take(acc, jnp.asarray(perm.astype(_np.int32)),
+                           axis=2)
             tbl = tbl.reshape(ncall, U * nf_all, 8, 64)
         else:
             cols = jnp.stack([jnp.take(f, uq, axis=0) for f in all_fields],

@@ -137,39 +137,50 @@ def face_minmax_multi(topo: Topology, fields: jax.Array):
 
     maps = _plane_maps(F)
     packed = jnp.moveaxis(fields, 0, 1).reshape(T, F * TILE)
-    # ONE fused lane-extraction pass for all six directions' planes
-    allcols = jnp.concatenate([m[2] for m in maps])
-    P = jnp.take(packed, allcols, axis=1)  # [T, 6*F*64]
     nbr6 = jnp.stack([topo.nbr[:, d_of(off)] for off in FACE_DIRS], axis=1)
 
-    def block(fields_b, nbr_b, chain):
-        B = fields_b.shape[1]
+    if nblk <= 1:
+        # ONE fused lane-extraction pass for all six directions' planes;
+        # gathers then move only the used 64 lanes per row (probe r4/065)
+        allcols = jnp.concatenate([m[2] for m in maps])
+        P = jnp.take(packed, allcols, axis=1)  # [T, 6*F*64]
         mins = maxs = None
         for i, (mnp, s_in, _pc, exp_idx) in enumerate(maps):
             g = jnp.take(P[:, i * F * 64:(i + 1) * F * 64],
-                         nbr_b[:, i], axis=0)  # [B, F*64] plane values
-            g = g.reshape(B, F, 64).transpose(1, 0, 2)
-            ge = jnp.take(g, exp_idx, axis=2)  # [F, B, 512]
-            view = jnp.where(mnp, ge, jnp.roll(fields_b, s_in, axis=-1))
+                         nbr6[:, i], axis=0)  # [T, F*64] plane values
+            g = g.reshape(T, F, 64).transpose(1, 0, 2)
+            ge = jnp.take(g, exp_idx, axis=2)  # [F, T, 512]
+            view = jnp.where(mnp, ge, jnp.roll(fields, s_in, axis=-1))
             mins = view if mins is None else jnp.minimum(mins, view)
             maxs = view if maxs is None else jnp.maximum(maxs, view)
-            if chain:
-                # serialize the six gathers (identity, bit-exact) so an
-                # at-scale block never holds them all at once
-                mins, nbr_b = jax.lax.optimization_barrier((mins, nbr_b))
         return mins, maxs
 
-    if nblk <= 1:
-        return block(fields, nbr6, chain=False)
-
+    # At-scale block form: NO plane-packed resident (P is ~6/8 of the
+    # field bytes and put the 1024^3 envelope back over HBM — probe
+    # r4/072); gather full rows per block, barrier-chained.
     B = T // nblk
+
+    def block(fields_b, nbr_b):
+        mins = maxs = None
+        for i, off in enumerate(FACE_DIRS):
+            mask, s_in, s_fix = _DIRS[off]
+            nbr = jnp.take(packed, nbr_b[:, i], axis=0)
+            nbr = jnp.moveaxis(nbr.reshape(-1, F, TILE), 1, 0)
+            view = jnp.where(mask, jnp.roll(nbr, s_fix, axis=-1),
+                             jnp.roll(fields_b, s_in, axis=-1))
+            mins = view if mins is None else jnp.minimum(mins, view)
+            maxs = view if maxs is None else jnp.maximum(maxs, view)
+            # serialize the six gathers (identity, bit-exact) so a block
+            # never holds them all at once (NOTES fact 24)
+            mins, nbr_b = jax.lax.optimization_barrier((mins, nbr_b))
+        return mins, maxs
 
     def body(k, acc):
         mins, maxs = acc
         r0 = k * B
         fb = jax.lax.dynamic_slice(fields, (0, r0, 0), (F, B, TILE))
         nb = jax.lax.dynamic_slice(nbr6, (r0, 0), (B, 6))
-        mb, xb = block(fb, nb, chain=True)
+        mb, xb = block(fb, nb)
         mins = jax.lax.dynamic_update_slice(mins, mb, (0, r0, 0))
         maxs = jax.lax.dynamic_update_slice(maxs, xb, (0, r0, 0))
         return mins, maxs
