@@ -195,7 +195,39 @@ def _advect_vmem(
 
             return run
 
-        pf, pbk = jax.lax.cond(cfl < pb.CFL_LIMIT, fused2(16), fused2(24), 0)
+        def mixed(_):
+            # 1.9 <= CFL < 3.9: back positions still fit the 16-window
+            # (K=256, dual table); only the re-trace needs the 24-window
+            # (K=576). Splitting the passes costs one extra launch and the
+            # re-trace in XLA but skips ~60% of the wide kernel's MACs —
+            # the full-wide kernel measured 3.3x narrow (probe r4/077).
+            backs = pb.bfecc_sample_fused(
+                topo, base, dx, dy, dz, scaled_dt, 0, None, fast,
+                win=16, minmax=False, mode="back",
+            )[0]
+            lim = pb.DISP_LIMIT
+            d2x = jnp.clip(dx + backs[0] * scaled_dt, -lim, lim)
+            d2y = jnp.clip(dy + backs[1] * scaled_dt, -lim, lim)
+            d2z = jnp.clip(dz + backs[2] * scaled_dt, -lim, lim)
+            phib = pb.bfecc_sample_fused(
+                topo, base, d2x, d2y, d2z, scaled_dt, f_lo, None, fast,
+                win=24, minmax=False, mode="fwd",
+            )[0]
+            return jnp.stack(backs[f_lo:]), jnp.stack(phib)
+
+        if sdf is None:
+            pf, pbk = jax.lax.cond(
+                cfl < pb.CFL_LIMIT,
+                fused2(16),
+                lambda o: jax.lax.cond(cfl < pb.CFL_MID, mixed,
+                                       fused2(24), o),
+                0,
+            )
+        else:
+            # the split modes don't carry the SDF probe/rejection pair;
+            # colliding flows keep the two-branch dispatch
+            pf, pbk = jax.lax.cond(cfl < pb.CFL_LIMIT, fused2(16),
+                                   fused2(24), 0)
         return pf, pbk, lohi
 
     def fused(win):

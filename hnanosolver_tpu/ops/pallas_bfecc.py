@@ -84,6 +84,11 @@ def _group_cap(f_lo: int, win: int) -> int:
 # narrow path is valid when sdt*max|u| stays under this (|d2| <= 2*CFL < 4);
 # 1.9 leaves 0.1 voxel of slack under the hard 2.0 bound
 CFL_LIMIT = 1.9
+# the MIXED branch (back pass narrow, forward pass wide) is valid while the
+# BACK positions alone fit the 16-window: |d| <= CFL < 4, with 0.1 slack.
+# The bench plume ramps through this regime (CFL 1.9 -> ~3.1, probe r4/076)
+# where the full-wide kernel costs 3.3x narrow (probe r4/077).
+CFL_MID = 3.9
 # max |displacement| per axis (same constant as ops/advection.DISP_LIMIT;
 # also what makes WIN=24 valid for all flows: positions stay in [1, 23))
 DISP_LIMIT = 7.0 - 1e-3
@@ -296,11 +301,19 @@ def _face_minmax(G, nf_all, f_lo, nf_out, stbl, out2_ref):
 
 
 def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False,
-                 hbm=False, dual=False):
+                 hbm=False, dual=False, mode="both"):
+    """``mode``: "both" = the fused BFECC pair (back sample, in-register
+    re-trace, forward sample). "back" = back sample only (out =
+    fields[f_lo:] at the given positions); "fwd" = the positions ARE the
+    final (re-traced, caller-clipped) positions, one sampling pass. The
+    split modes serve the MIXED window branch (1.9 <= CFL < 3.9): back
+    positions still fit the 16-window (K=256, dual table) while only the
+    re-trace needs the 24-window — see advection._advect_vmem."""
     nf_out = nb - f_lo
     narrow = win == 16
     assert not (dual and minmax), "dual table carries no face rows"
     assert not dual or narrow, "dual plan covers the 16-window only"
+    assert mode == "both" or (not has_sdf and not minmax), mode
     # NOTE: a full-bf16 data path (table/scratch/weights) was tried for the
     # fast tier and REVERTED: Mosaic's tpu.dynamic_rotate only supports
     # 32-bit element types, so the 16-window combine's rolls reject bf16 on
@@ -385,8 +398,19 @@ def _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax=False,
             dy = jnp.where(hit, 0.0, dy)
             dz = jnp.where(hit, 0.0, dz)
 
+        if mode == "fwd":
+            wxT, W = _weights(G, win, dx, dy, dz, wdt)
+            phib = sample(f_lo, nb, wxT, W, prec)
+            for j in range(nf_out):
+                out_ref[:, j, :] = phib[j]
+            return
+
         wxT, W = _weights(G, win, dx, dy, dz, wdt)
         back = sample(0, nb, wxT, W, prec)
+        if mode == "back":
+            for j in range(nf_out):
+                out_ref[:, j, :] = back[f_lo + j]
+            return
         # forward re-trace from the back position (BFECC error estimate);
         # the clamp matches the multi-pass path and keeps WIN=24 positions
         # in-window for arbitrarily fast flows (narrow mode never hits it)
@@ -479,10 +503,11 @@ def _max_fields_for_vmem(U: int, G: int, win: int, nf_min: int,
 
 @functools.lru_cache(maxsize=None)
 def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
-           minmax=False, hbm=False, group=None, dual=False):
+           minmax=False, hbm=False, group=None, dual=False, mode="both"):
     G = min(group or _group_cap(f_lo, win), C)
     gpc = C // G
     nf_out = nb - f_lo
+    nout = 2 * nf_out if mode == "both" else nf_out
     nn = 8 if dual else 27
     # The compiler carves its scoped stack (kernel register temps: W/B
     # operands, t1, bcache spans — see _stack_need) out of
@@ -506,10 +531,10 @@ def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
                                 lambda c, g: (c, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
     out_specs = pl.BlockSpec(
-        (G, 2 * nf_out, TILE), lambda c, g: (c * gpc + g, 0, 0),
+        (G, nout, TILE), lambda c, g: (c * gpc + g, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out_shape = jax.ShapeDtypeStruct((T, 2 * nf_out, TILE), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((T, nout, TILE), jnp.float32)
     if minmax:
         out_specs = [out_specs, pl.BlockSpec(
             (G, nf_out, 8, 128), lambda c, g: (c * gpc + g, 0, 0, 0),
@@ -519,7 +544,7 @@ def _build(nc, U, C, T, nf_all, nb, f_lo, has_sdf, sdt, interpret, prec, win,
                      jax.ShapeDtypeStruct((T, nf_out, 8, 128), jnp.float32)]
     return pl.pallas_call(
         _make_kernel(nf_all, nb, f_lo, has_sdf, G, sdt, prec, win, minmax,
-                     hbm, dual),
+                     hbm, dual, mode),
         grid=(nc, gpc),
         in_specs=[
             pl.BlockSpec((G, nn), lambda c, g: (c * gpc + g, 0),
@@ -627,17 +652,21 @@ def build_table_dual(topo, fields: Sequence[jax.Array],
         dsrc = topo.chunk_dsrc
     nc, Ud, _ = dsrc.shape
     oct_cols, reasm = _oct_maps(nf)
-    oct_cols = [jnp.asarray(c) for c in oct_cols]
     reasm = jnp.asarray(reasm)
+    # the 8 octants are disjoint and cover all lanes: ONE permutation take
+    # packs them all (vs 8 full passes over packed for per-octant takes)
+    import numpy as _np
+
+    P_all = jnp.take(packed, jnp.asarray(_np.concatenate(oct_cols)), axis=1)
     chain = nc * Ud * nf * 64 * 4 * 8 > 256 * 1024 * 1024
     parts = []
     for j in range(8):
-        Pj = jnp.take(packed, oct_cols[j], axis=1)  # [T, nf*64]
+        Pj = P_all[:, j * nf * 64:(j + 1) * nf * 64]  # [T, nf*64]
         rows = jnp.take(Pj, dsrc[:, :, j].reshape(-1), axis=0)
         if chain:
-            # gather j+1 reads packed, which now depends on gather j's
+            # gather j+1 reads P_all, which now depends on gather j's
             # result (identity values, bit-exact) — bounds the transients
-            packed, rows = jax.lax.optimization_barrier((packed, rows))
+            P_all, rows = jax.lax.optimization_barrier((P_all, rows))
         parts.append(rows)
     cat = jnp.concatenate(parts, axis=1)  # [R, 8*nf*64]
     S = jnp.take(cat, reasm, axis=1)  # [R, nf*512]
@@ -693,11 +722,18 @@ def bfecc_sample_fused(
     slices: Optional[int] = None,
     minmax: bool = False,
     dual: Optional[bool] = None,
+    mode: str = "both",
 ) -> Tuple[List[jax.Array], ...]:
     """Fused BFECC sampling: returns (phiF list over fields[f_lo:],
     phiB list over fields[f_lo:]). ``fields[0:3]`` MUST be the velocity
     components (used for the in-kernel forward re-trace); for velocity
     self-advection pass f_lo=0, for scalars f_lo=3.
+
+    ``mode``: "both" (default) = the fused pair; "back" / "fwd" run a
+    single sampling pass and return ONE list (the MIXED window branch:
+    back on the narrow window, forward at caller-supplied re-traced
+    positions on the wide one — see advection._advect_vmem). Split modes
+    require sdf=None and minmax=False.
 
     ``minmax``: additionally return (lo list, hi list) — each field's
     per-voxel min/max over {self, 6 face neighbors} of the PRE-advection
@@ -724,6 +760,8 @@ def bfecc_sample_fused(
     if isinstance(prec, bool):
         prec = "fast" if prec else "strict"
     assert win in (16, 24), win
+    assert mode in ("both", "back", "fwd"), mode
+    assert mode == "both" or (sdf is None and not minmax), mode
     use_dual = DUAL_TBL if dual is None else dual
     if use_dual is None:
         use_dual = True
@@ -775,7 +813,7 @@ def bfecc_sample_fused(
                 res = bfecc_sample_fused(
                     topo, batch, dx, dy, dz, sdt, 3, sdf=sdf, prec=prec,
                     interpret=interpret, win=win, slices=slices,
-                    minmax=minmax, dual=dual)
+                    minmax=minmax, dual=dual, mode=mode)
                 for acc, part in zip(parts, res):
                     acc += part
             return parts[:len(res)]
@@ -783,6 +821,8 @@ def bfecc_sample_fused(
     if slices is None:
         slices = _pick_slices(nc, U, nf_all)
     def unpack(out, out2):
+        if mode != "both":
+            return ([out[:, j, :] for j in range(nf_out)],)
         res = (
             [out[:, j, :] for j in range(nf_out)],
             [out[:, nf_out + j, :] for j in range(nf_out)],
@@ -807,8 +847,8 @@ def bfecc_sample_fused(
             tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, 0), (0, 64)))
         fn = _build(nc, U, C, T, nf_all, nb, f_lo, sdf is not None,
                     float(sdt), bool(interpret), prec, int(win),
-                    minmax, hbm, group, use_dual)
-        out = fn(lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out, 512]
+                    minmax, hbm, group, use_dual, mode)
+        out = fn(lnbr, dx, dy, dz, tbl)  # [T, 2*nf_out or nf_out, 512]
         out, out2 = out if minmax else (out, None)
         return unpack(out, out2)
 
@@ -829,7 +869,7 @@ def bfecc_sample_fused(
         # held across every slice
         fn = _build(ncall, U, C, ncall * C, nf_all, nb, f_lo, sdf is not None,
                     float(sdt), bool(interpret), prec, int(win), minmax, hbm,
-                    group, use_dual)
+                    group, use_dual, mode)
         if use_dual:
             # uq is this slice's dsrc [ncall*U, 8]. At scale the octant-
             # packed splits are NOT worth it: they are a resident copy of
@@ -897,7 +937,8 @@ def bfecc_sample_fused(
             out2 = jnp.concatenate([out2, tail[1]], axis=0)
     else:
         out2 = None
-    out = outs.reshape(rows, 2 * nf_out, 512)
+    nout = 2 * nf_out if mode == "both" else nf_out
+    out = outs.reshape(rows, nout, 512)
     if rem:
         out = jnp.concatenate([out, tail[0] if minmax else tail], axis=0)
     return unpack(out, out2)

@@ -372,3 +372,52 @@ def test_face_minmax_blocked_matches(monkeypatch):
     got = sh.face_minmax_multi(topo, fields)
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixed_window_matches_wide():
+    """The MIXED branch (back pass narrow/dual, XLA re-trace, forward pass
+    wide) must match the fused wide kernel to f32 rounding for flows in
+    its validity band 1.9 <= CFL < 3.9 (same math, different windows)."""
+    rng = np.random.default_rng(21)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    vel = [f * 3.0 for f in _rand_fields(rng, T, 3)]
+    fields = vel + _rand_fields(rng, T, 2)
+    sdt = 0.9
+    lim = 7.0 - 1e-3
+    dx = jnp.clip(-vel[0] * sdt, -3.8, 3.8)
+    dy = jnp.clip(-vel[1] * sdt, -3.8, 3.8)
+    dz = jnp.clip(-vel[2] * sdt, -3.8, 3.8)
+    pf_w, pb_w = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True,
+        win=24)
+    backs = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 0, None, "strict", interpret=True,
+        win=16, mode="back")[0]
+    d2x = jnp.clip(dx + backs[0] * sdt, -lim, lim)
+    d2y = jnp.clip(dy + backs[1] * sdt, -lim, lim)
+    d2z = jnp.clip(dz + backs[2] * sdt, -lim, lim)
+    phib = pb.bfecc_sample_fused(
+        topo, fields, d2x, d2y, d2z, sdt, 3, None, "strict",
+        interpret=True, win=24, mode="fwd")[0]
+    for i in range(2):
+        assert float(jnp.max(jnp.abs(backs[3 + i] - pf_w[i]))) < ATOL
+        # the forward sample composes the back sample's last-ulp window
+        # difference through the re-traced POSITION (sensitivity ~ field
+        # gradient x position delta), so its tolerance is looser
+        assert float(jnp.max(jnp.abs(phib[i] - pb_w[i]))) < 1e-4
+
+
+def test_advect_vmem_mixed_dispatch():
+    """_advect_vmem's 3-way cond: the mixed branch (1.9 <= CFL < 3.9)
+    produces wide-equivalent samples end to end."""
+    rng = np.random.default_rng(22)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel_arr = jnp.stack(_rand_fields(rng, T, 3))
+    fields = _rand_fields(rng, T, 2)
+    v = vel_arr * 2.6  # CFL lands in the mixed band
+    pf_m, pb_m, _ = adv._advect_vmem(topo, v, fields, 1.0, None)
+    pf_w, pb_w, _ = adv._advect_vmem_wide(topo, v, fields, 1.0, None)
+    assert float(jnp.max(jnp.abs(pf_m - pf_w))) < ATOL
+    assert float(jnp.max(jnp.abs(pb_m - pb_w))) < ATOL
