@@ -24,7 +24,19 @@ from hnanosolver_tpu.core.layout import TILE
 from hnanosolver_tpu.core.topology import Topology
 from hnanosolver_tpu.ops.shifts import d_of
 
-G = 8  # tiles per program
+G = 32  # preferred tiles per program. G=8 left ~2x on the table at bench
+# size: per-program vector work on [8, 512] under-fills the VPU pipeline
+# across 576 grid steps; [32, 512] programs measured the full 50-iteration
+# lagged solve at 0.55x (probe r4/083: 4.8-5.2 ms vs 8.1-9.7, bit-exact;
+# G=64 equal to G=32 within noise). The grid needs G | T, so builds fall
+# back through _pick_g.
+
+
+def _pick_g(T: int) -> int:
+    for g in (G, 16, 8, 4, 2):
+        if g <= T and T % g == 0:
+            return g
+    return 1
 
 # (in-tile roll, neighbor-row fix roll) per face direction — see ops/shifts.py
 _ROLLS = {
@@ -45,7 +57,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _kernel_lagged(K: int, omega: float, dx2: float,
+def _kernel_lagged(K: int, omega: float, dx2: float, G: int,
                    p_ref, div_ref, porg_ref, faces_ref, out_ref):
     # porg_ref is [G, 1] (tile-granular parity/mask) or [G, TILE]
     # (voxel-granular, multigrid coarse levels) — [G, 1] saves re-reading a
@@ -98,6 +110,7 @@ def _kernel_lagged(K: int, omega: float, dx2: float,
 @functools.lru_cache(maxsize=None)
 def _build_lagged(K: int, omega: float, dx2: float, T: int, interpret: bool,
                   porg_cols: int = TILE):
+    G = _pick_g(T)
     spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((G, porg_cols), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -105,7 +118,7 @@ def _build_lagged(K: int, omega: float, dx2: float, T: int, interpret: bool,
         (6, G, TILE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_kernel_lagged, K, omega, dx2),
+        functools.partial(_kernel_lagged, K, omega, dx2, G),
         grid=(T // G,),
         in_specs=[spec, spec, pspec, fspec],
         out_specs=spec,
@@ -159,7 +172,7 @@ def solve_pressure_lagged(
     return jax.lax.fori_loop(0, iterations // halo_lag, body, p)
 
 
-def _kernel(color: int, omega: float, dx2: float,
+def _kernel(color: int, omega: float, dx2: float, G: int,
             p_ref, div_ref, porg_ref, *rest):
     nbr_refs = rest[:6]
     out_ref = rest[6]
@@ -194,9 +207,10 @@ def _kernel(color: int, omega: float, dx2: float,
 
 @functools.lru_cache(maxsize=None)
 def _build(color: int, omega: float, dx2: float, T: int, interpret: bool):
+    G = _pick_g(T)
     spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, color, omega, dx2),
+        functools.partial(_kernel, color, omega, dx2, G),
         grid=(T // G,),
         in_specs=[spec] * 9,
         out_specs=spec,
