@@ -209,8 +209,13 @@ def _advect_vmem(
             d2x = jnp.clip(dx + backs[0] * scaled_dt, -lim, lim)
             d2y = jnp.clip(dy + backs[1] * scaled_dt, -lim, lim)
             d2z = jnp.clip(dz + backs[2] * scaled_dt, -lim, lim)
+            # the forward pass samples only the advected fields (no
+            # re-trace, so the velocity operands the "both" kernel needs
+            # are dead weight here): for the scalar pass, drop them from
+            # the 24-window table build (~3/8 of its gathered bytes)
+            fwd_fields = base if f_lo == 0 else list(fields)
             phib = pb.bfecc_sample_fused(
-                topo, base, d2x, d2y, d2z, scaled_dt, f_lo, None, fast,
+                topo, fwd_fields, d2x, d2y, d2z, scaled_dt, 0, None, fast,
                 win=24, minmax=False, mode="fwd",
             )[0]
             return jnp.stack(backs[f_lo:]), jnp.stack(phib)
