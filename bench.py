@@ -47,12 +47,14 @@ WALL_BUDGET_S = 1100.0  # hard cap on total measurement wall-clock. Keep
 # WELL under any plausible driver timeout: a killed bench records NOTHING,
 # which is strictly worse than a congested number (the r3 mid-round run
 # burned its full 40-min budget with all 20 rounds congested — probe 049).
-QUIET_STEP_REF_S = 0.022  # congestion detector reference: the dual-table
-# balanced binary's probe-window step was ~39.5 ms at ~2x congestion
-# (probe 048); a genuinely quiet window is ~20 ms
-# on a strictly slower binary (strict precision, 1.46x capacity slack), so
-# a per-step slope above ~1.3x that on today's binary means the chip is
-# time-shared right now, not that the step got slower — keep sampling.
+QUIET_STEP_REF_S = 0.015  # congestion detector reference. Late-r3 binary:
+# octant-packed dual tables + mixed-window dispatch (the bench chain ramps
+# CFL 1.1 -> 3.1, probe 079) + 32-tile pressure programs (0.55x the
+# 50-iteration solve, probe 083). Component sums in ~2x windows put the
+# quiet step near ~14-16 ms; a per-step slope above ~1.3x this means the
+# chip is time-shared right now, not that the step got slower — keep
+# sampling (worst case the detector never fires and the run spends its
+# full wall budget on more rounds, which only improves the min).
 # (The first r3 attempt keyed on per-CALL overhead, which conflates pull
 # latency with device time and declared a 3x-congested evening "quiet".)
 
