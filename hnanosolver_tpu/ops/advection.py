@@ -140,13 +140,15 @@ def _advect_vmem(
     fast="strict",
     fields_are_velocity: bool = False,
 ):
-    """BFECC sampling on TPU. Dispatches at runtime between the fused
-    narrow-window megakernel (ops/pallas_bfecc — one launch, 16^3 windows,
-    ~3.4x fewer MXU MACs; valid while the step CFL number sdt*max|u| stays
-    under pallas_bfecc.CFL_LIMIT) and the wide multi-pass sampler
-    (_advect_vmem_wide — 24^3 windows, handles displacements up to the
-    global DISP_LIMIT). Both produce identical samples (to f32 rounding) in
-    the narrow regime, so the `lax.cond` is purely a performance switch."""
+    """BFECC sampling on TPU. Dispatches at runtime on the step CFL number
+    sdt*max|u| between (a) the fused narrow-window megakernel
+    (ops/pallas_bfecc — one launch, 16^3 windows, ~3.4x fewer MXU MACs;
+    CFL < CFL_LIMIT), (b) for SDF-free flows a MIXED split (CFL_LIMIT <=
+    CFL < CFL_MID: narrow back pass, XLA re-trace, wide forward pass —
+    0.8x the wide kernel, probe r4/078), and (c) the wide 24^3-window
+    kernel (up to the global DISP_LIMIT). All arms produce identical
+    samples to f32 rounding in their shared validity regions, so the
+    `lax.cond` tree is purely a performance switch."""
     if trace_order != 1:
         # RK backtraces need intermediate velocity sampling passes; only the
         # multi-pass sampler supports them (the reference pipeline itself is
