@@ -160,12 +160,17 @@ def test_solve_foreign_source_collision(tmp_path):
     # the SDF came through under its own grid name, NOT zeroed
     g_sdf = _grid(out, "collider")
     assert g_sdf["values"].min() < -2.0
-    # velocity inside the solid is zero (enforceCollisionBoundaries)
+    # velocity inside the solid is zero (enforceCollisionBoundaries); the
+    # written-back SDF covers the whole (grown) domain, so read "inside"
+    # off the output grid itself
     g_vel = _grid(out, "velocity")
     vel_rows = {tuple(o): i for i, o in enumerate(g_vel["origins"] // 8)}
+    n_solid = 0
     for i, o in enumerate(g_sdf["origins"] // 8):
         if tuple(o) not in vel_rows:
             continue
         v = g_vel["values"][:, vel_rows[tuple(o)]]
-        inside = sdf[i] < -0.75
+        inside = g_sdf["values"][i] < -0.75
+        n_solid += int(inside.sum())
         assert np.abs(v[:, inside]).max(initial=0.0) < 1e-5
+    assert n_solid > 300  # the sphere interior is actually covered
