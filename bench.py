@@ -36,17 +36,18 @@ ROUNDS = 8  # minimum measurement rounds; report the best (tunnel jitter
 # observed single-round wobble is up to 3x on quiet-vs-congested windows,
 # and whole multi-minute windows can be congested — more rounds beat more
 # repeats per round)
-MAX_ROUNDS = 20  # keep sampling extra rounds while the whole run has only
+MAX_ROUNDS = 28  # keep sampling extra rounds while the whole run has only
 # seen congested windows (r3: one run caught 8/8 rounds at ~3x — the chip
 # is time-shared, so only WAITING for a quieter window recovers the truth)
 ROUND_GAP_S = 20.0  # pause between rounds so the rounds SPAN congestion
 # windows (they change on the minutes scale) instead of sampling one window
 LATE_GAP_S = 120.0  # wider spacing for the extra rounds: sample FARTHER
 # windows instead of resampling the same congested one
-WALL_BUDGET_S = 1100.0  # hard cap on total measurement wall-clock. Keep
-# WELL under any plausible driver timeout: a killed bench records NOTHING,
-# which is strictly worse than a congested number (the r3 mid-round run
-# burned its full 40-min budget with all 20 rounds congested — probe 049).
+WALL_BUDGET_S = 2000.0  # hard cap on total measurement wall-clock (raised
+# from 1100 s in r4: whole half-hours of the tunneled chip run congested —
+# NOTES r3 fact 25/35 — so the budget must SPAN more than one such window;
+# a 40-min run has been survived before — probe r3/049 — and a killed bench
+# records NOTHING, so stay clearly under that observed ceiling).
 
 # Congestion-detector reference: the best QUIET per-step time this binary
 # has ever recorded, persisted as an artifact (QUIET_REF.json) and updated

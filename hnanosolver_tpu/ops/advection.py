@@ -184,8 +184,14 @@ def _advect_vmem(
         # the same {self, 6 faces} set with the same background-0 -> the
         # bounds, and the clamped results, are bit-identical.
         phi0s = jnp.stack(list(fields))
-        mins, maxs = sh.face_minmax_multi(topo, phi0s)
-        lohi = (jnp.minimum(phi0s, mins), jnp.maximum(phi0s, maxs))
+        if phi0s.size * 4 * 2 > sh.MINMAX_VIEWS_BUDGET:
+            # At scale, precomputed bounds are 2 field-sized arrays held
+            # live across the WHOLE sampling pass — the limiter instead
+            # runs fused per row block after sampling (_bfecc_limit_blocks)
+            lohi = None
+        else:
+            mins, maxs = sh.face_minmax_multi(topo, phi0s)
+            lohi = (jnp.minimum(phi0s, mins), jnp.maximum(phi0s, maxs))
 
         def fused2(win):
             def run(_):
@@ -552,6 +558,68 @@ def _minmax_clamp_multi(topo, phi0s, phi_fs, corrs):
     return jnp.clip(corrs, lo, hi)
 
 
+def _bfecc_limit_blocks(topo, phi0s, pfs, pbs):
+    """At-scale BFECC limiter: bounds + correction + clip fused per ROW
+    BLOCK, so no field-sized lo/hi/corr transient is ever live. Bit-exact
+    with the precomputed-bounds path (min/max are associative; the clip
+    reads identical bounds). This is what lets radius-256 (269k tiles)
+    fit: the precompute held 2 field-sized bounds arrays across the whole
+    sampling pass and the clamp added corr + lo + hi full-size temps
+    (NOTES r3 fact 26: the last ~430 MB of the 1024^3 envelope)."""
+    F, T, _ = phi0s.shape
+    want = max(1, -(-(F * T * TILE * 4) // sh.MINMAX_VIEWS_BUDGET))
+    nblk = 1
+    while nblk < want and T % (nblk * 2) == 0:
+        nblk *= 2
+    packed = jnp.moveaxis(phi0s, 0, 1).reshape(T, F * TILE)
+    nbr6 = jnp.stack([topo.nbr[:, sh.d_of(off)] for off in sh.FACE_DIRS],
+                     axis=1)
+    B = T // nblk
+
+    def body(k, out):
+        r0 = k * B
+        ph = jax.lax.dynamic_slice(phi0s, (0, r0, 0), (F, B, TILE))
+        pf = jax.lax.dynamic_slice(pfs, (0, r0, 0), (F, B, TILE))
+        pb = jax.lax.dynamic_slice(pbs, (0, r0, 0), (F, B, TILE))
+        nb = jax.lax.dynamic_slice(nbr6, (r0, 0), (B, 6))
+        mins = maxs = None
+        for i, off in enumerate(sh.FACE_DIRS):
+            mask, s_in, s_fix = sh._DIRS[off]
+            nbr = jnp.take(packed, nb[:, i], axis=0)
+            nbr = jnp.moveaxis(nbr.reshape(B, F, TILE), 1, 0)
+            view = jnp.where(mask, jnp.roll(nbr, s_fix, axis=-1),
+                             jnp.roll(ph, s_in, axis=-1))
+            mins = view if mins is None else jnp.minimum(mins, view)
+            maxs = view if maxs is None else jnp.maximum(maxs, view)
+            # serialize the six gathers (identity, bit-exact) so a block
+            # never holds them all at once (NOTES r3 fact 24)
+            mins, nb = jax.lax.optimization_barrier((mins, nb))
+        corr = pf + 0.5 * (ph - pb)
+        lo = jnp.minimum(jnp.minimum(ph, mins), pf)
+        hi = jnp.maximum(jnp.maximum(ph, maxs), pf)
+        return jax.lax.dynamic_update_slice(
+            out, jnp.clip(corr, lo, hi), (0, r0, 0))
+
+    return jax.lax.fori_loop(0, nblk, body, jnp.zeros_like(phi0s))
+
+
+def _bfecc_limit(topo, phi0s, pf, pb, lohi):
+    """The BFECC correction + limiter for F stacked fields: corrected =
+    clip(pf + 0.5 (phi0 - pb), bounds) with bounds = min/max over {phi0,
+    6 face neighbors, pf} (Kernel.cu:249-261). ``lohi`` carries kernel- or
+    pre-computed {self,faces} bounds when available; None selects the
+    fused block form at scale (no field-sized transients) or the one-shot
+    XLA form below it."""
+    if lohi is not None:
+        corrs = pf + 0.5 * (phi0s - pb)
+        return jnp.clip(corrs, jnp.minimum(lohi[0], pf),
+                        jnp.maximum(lohi[1], pf))
+    if phi0s.size * 4 * 2 > sh.MINMAX_VIEWS_BUDGET:
+        return _bfecc_limit_blocks(topo, phi0s, pf, pb)
+    corrs = pf + 0.5 * (phi0s - pb)
+    return _minmax_clamp_multi(topo, phi0s, pf, corrs)
+
+
 def advect_scalars_fused(
     topo: Topology,
     vel: jax.Array,
@@ -586,14 +654,7 @@ def advect_scalars_fused(
             fast
         )
         phi0s = jnp.stack(sub)
-        corrs = pf + 0.5 * (phi0s - pb)
-        if lohi is not None:
-            # limiter bounds came from the megakernel (in-VMEM face rows):
-            # only the phiF term and the clip remain for XLA
-            clamped = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
-                               jnp.maximum(lohi[1], pf))
-        else:
-            clamped = _minmax_clamp_multi(topo, phi0s, pf, corrs)
+        clamped = _bfecc_limit(topo, phi0s, pf, pb, lohi)
         outs.extend(clamped[j] for j in range(len(sub)))
         if i + nbatch < len(fields):
             # batches are data-independent — barrier-chain them (identity)
@@ -648,12 +709,7 @@ def advect_velocity(
                 topo, src_vel, [src_vel[j]], dt * inv_dx, sdf, chunk,
                 trace_order, INTERP, fast,
             )
-            corrs = pf + 0.5 * (src_vel[j][None] - pb)
-            if lohi is not None:
-                o = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
-                             jnp.maximum(lohi[1], pf))
-            else:
-                o = _minmax_clamp_multi(topo, src_vel[j][None], pf, corrs)
+            o = _bfecc_limit(topo, src_vel[j][None], pf, pb, lohi)
             comp = o[0]
             if j < 2:  # barrier-chain independent component passes
                 comp, src_vel = jax.lax.optimization_barrier((comp, src_vel))
@@ -665,12 +721,7 @@ def advect_velocity(
             topo, vel, fields, dt * inv_dx, sdf, chunk, trace_order, INTERP,
             fast, fields_are_velocity=True,
         )
-        corrs = pf + 0.5 * (vel - pb)
-        if lohi is not None:
-            out = jnp.clip(corrs, jnp.minimum(lohi[0], pf),
-                           jnp.maximum(lohi[1], pf))
-        else:
-            out = _minmax_clamp_multi(topo, vel, pf, corrs)
+        out = _bfecc_limit(topo, vel, pf, pb, lohi)
 
     if sdf is not None:
         # advect_vector's tail: gate at 0.1 but blend with 1 - sdf/1.5

@@ -18,6 +18,7 @@ from hnanosolver_tpu.core.topology import build_topology, build_topology_dense
 from hnanosolver_tpu.ops import advection as adv
 from hnanosolver_tpu.ops import pallas_bfecc as pb
 from hnanosolver_tpu.ops import pallas_interp2 as pi2
+from hnanosolver_tpu.ops import shifts as sh
 
 ATOL = 2e-5
 
@@ -421,3 +422,22 @@ def test_advect_vmem_mixed_dispatch():
     pf_w, pb_w, _ = adv._advect_vmem_wide(topo, v, fields, 1.0, None)
     assert float(jnp.max(jnp.abs(pf_m - pf_w))) < ATOL
     assert float(jnp.max(jnp.abs(pb_m - pb_w))) < ATOL
+
+
+def test_bfecc_limit_blocks_bitexact(monkeypatch):
+    """The at-scale fused block limiter (_bfecc_limit_blocks: bounds +
+    correction + clip per row block, no field-sized transients — the
+    radius-256 fit, NOTES r3 fact 26) is BIT-identical to the precomputed-
+    bounds path on the same pf/pb."""
+    rng = np.random.default_rng(21)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    phi0s = jnp.stack(_rand_fields(rng, T, 3))
+    pf = jnp.stack(_rand_fields(rng, T, 3))
+    pb_ = jnp.stack(_rand_fields(rng, T, 3))
+    mins, maxs = sh.face_minmax_multi(topo, phi0s)
+    lohi = (jnp.minimum(phi0s, mins), jnp.maximum(phi0s, maxs))
+    ref = adv._bfecc_limit(topo, phi0s, pf, pb_, lohi)
+    monkeypatch.setattr(sh, "MINMAX_VIEWS_BUDGET", T * 512)  # force blocks
+    blocked = adv._bfecc_limit(topo, phi0s, pf, pb_, None)
+    assert jnp.array_equal(ref, blocked)
