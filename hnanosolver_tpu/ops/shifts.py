@@ -145,11 +145,25 @@ def face_minmax_multi(topo: Topology, fields: jax.Array):
         allcols = jnp.concatenate([m[2] for m in maps])
         P = jnp.take(packed, allcols, axis=1)  # [T, 6*F*64]
         mins = maxs = None
-        for i, (mnp, s_in, _pc, exp_idx) in enumerate(maps):
+        for i, (mnp, s_in, _pc, _exp) in enumerate(maps):
             g = jnp.take(P[:, i * F * 64:(i + 1) * F * 64],
                          nbr6[:, i], axis=0)  # [T, F*64] plane values
             g = g.reshape(T, F, 64).transpose(1, 0, 2)
-            ge = jnp.take(g, exp_idx, axis=2)  # [F, T, 512]
+            # expand the 64-lane plane to the 512-lane row as a pure
+            # BROADCAST (the plane is constant along its face axis; packed
+            # order is ascending boundary-lane = the remaining two axes in
+            # lane order) — a take with a general lane permutation here
+            # does not fuse and cost a full field-size pass per direction
+            axis = max(range(3), key=lambda a: abs(FACE_DIRS[i][a]))
+            if axis == 0:  # plane (y,z): tile along x
+                ge = jnp.broadcast_to(g[:, :, None, :], (F, T, 8, 64))
+            elif axis == 1:  # plane (x,z): tile along y
+                ge = jnp.broadcast_to(
+                    g.reshape(F, T, 8, 1, 8), (F, T, 8, 8, 8))
+            else:  # plane (x,y): tile along z
+                ge = jnp.broadcast_to(
+                    g.reshape(F, T, 8, 8, 1), (F, T, 8, 8, 8))
+            ge = ge.reshape(F, T, TILE)
             view = jnp.where(mnp, ge, jnp.roll(fields, s_in, axis=-1))
             mins = view if mins is None else jnp.minimum(mins, view)
             maxs = view if maxs is None else jnp.maximum(maxs, view)
