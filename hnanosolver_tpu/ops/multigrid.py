@@ -64,22 +64,37 @@ class MGLevel:
         return cls(*ch)
 
 
-def _restrict_mask_np(children: np.ndarray, fine_mask: np.ndarray) -> np.ndarray:
-    """Coarse in-domain mask = ANY-of-2^3-children of the fine level's mask
-    (numpy mirror of :func:`restrict` with max instead of mean). Carrying
-    the mask as restricted DATA keeps it voxel-exact at every depth; the
-    round-2 tile-existence derivation was exact only for level 1 (below
-    that, level-k tiles are themselves partially in-domain, so existence
-    over-covers — measured to diverge at depth >= 3)."""
+def _restrict_mask_np(children: np.ndarray, fine_mask: np.ndarray,
+                      mode: str = "any") -> np.ndarray:
+    """Coarse in-domain mask, restricted from the fine level's mask (numpy
+    mirror of :func:`restrict` with a min/max reduction). Carrying the mask
+    as restricted DATA keeps it voxel-exact at every depth; the round-2
+    tile-existence derivation was exact only for level 1 (below that,
+    level-k tiles are themselves partially in-domain, so existence
+    over-covers — measured to diverge at depth >= 3).
+
+    ``mode``: "any" marks a coarse voxel in-domain when ANY of its 2^3 fine
+    children is — the coarse domain OVER-covers the fine one by up to
+    2^k - 1 voxels at depth k, so coarse corrections of the global mode
+    overshoot (a Dirichlet problem on a larger domain has a larger
+    solution) and deep V-cycles AMPLIFY instead of damping (probe r4/103:
+    depth-5 ratio 0.567 @2 cycles -> 0.900 @4). "all" (the default)
+    requires every child in-domain: the coarse domain UNDER-covers,
+    corrections undershoot, and the cycle can only damp. Measured
+    (tools/probe_mgdeep2.py, tile-sphere, 6 cycles): any diverges at
+    depth 5 (4.07 -> 6.93); all converges monotonically and deeper is
+    strictly better (depth 5 reaches 0.075 vs depth 3's 0.18)."""
     Tf = fine_mask.shape[0]
-    m = fine_mask.reshape(Tf, 4, 2, 4, 2, 4, 2).max(axis=(2, 4, 6))
+    red = np.max if mode == "any" else np.min
+    m = red(fine_mask.reshape(Tf, 4, 2, 4, 2, 4, 2), axis=(2, 4, 6))
     Tc = children.shape[0]
     ch = m[children.reshape(-1)].reshape(Tc, 2, 2, 2, 4, 4, 4)
     out = np.moveaxis(ch, (1, 2, 3), (1, 3, 5))  # [Tc, 2,4, 2,4, 2,4]
     return out.reshape(Tc, 512)
 
 
-def build_hierarchy(topo: Topology, levels: int) -> List[MGLevel]:
+def build_hierarchy(topo: Topology, levels: int,
+                    mask_mode: str = "all") -> List[MGLevel]:
     """Host-side construction of ``levels`` coarse levels below ``topo``."""
     out: List[MGLevel] = []
     fine = topo
@@ -106,7 +121,7 @@ def build_hierarchy(topo: Topology, levels: int) -> List[MGLevel]:
         children = np.zeros((coarse.capacity, 8), np.int32)
         children[prow, oct_[1 : nf + 1]] = np.arange(1, nf + 1, dtype=np.int32)
 
-        mask = _restrict_mask_np(children, fine_mask)
+        mask = _restrict_mask_np(children, fine_mask, mask_mode)
 
         out.append(
             MGLevel(
@@ -265,6 +280,7 @@ def v_cycle(
     mask: jax.Array | None = None,
     refresh=None,
     coarse_reduce=None,
+    smooth_lag: bool = True,
 ) -> jax.Array:
     """One V-cycle of the reference's commented driver (HNanoSolver.cu:399-506),
     recursing down ``hierarchy``. ``mask`` is THIS level's in-domain voxel
@@ -275,13 +291,28 @@ def v_cycle(
     each device restricts its OWNED fine tiles into the global coarse table
     and ``coarse_reduce`` (a psum over the mesh axis) combines them; the
     coarse solve then runs identically on every device."""
+    # Smoothing needs no exact cross-tile halo: with ``smooth_lag`` each
+    # n_pre/n_post-pair smoothing call gathers its halo ONCE (the lagged
+    # G=32 kernel) instead of before every color sweep — 4x fewer gather
+    # bytes per pre/post smooth at 2 pairs, and the 7.9 GB/cycle fine-level
+    # gather traffic at 1024^3 drops ~4x. Residual-equivalence is covered by
+    # the lagged-vs-textbook tests; the fused whole-solve kernel (small T)
+    # and the XLA backend ignore the hint.
+    lag = {"halo_lag": n_pre} if (smooth_lag and refresh is None) else {}
     if not hierarchy:
+        # The coarsest call is a SOLVE, not a smoother — halos must stay
+        # fresh enough to converge (lag-50 measured 3.4x worse residual at
+        # bench scale, NOTES fact 39), so cap its lag at 4 pairs. Usually
+        # moot: a deep-enough coarsest is <= MAX_FUSED_ROWS and takes the
+        # textbook whole-solve kernel regardless.
         return prs.solve_pressure(
-            topo, div, n_coarsest, dx, omega, p0=p, mask=mask, refresh=refresh
+            topo, div, n_coarsest, dx, omega, p0=p, mask=mask, refresh=refresh,
+            **({"halo_lag": 4} if (smooth_lag and refresh is None
+                                   and n_coarsest % 4 == 0) else {}),
         )
     lvl = hierarchy[0]
     p = prs.solve_pressure(
-        topo, div, n_pre, dx, omega, p0=p, mask=mask, refresh=refresh
+        topo, div, n_pre, dx, omega, p0=p, mask=mask, refresh=refresh, **lag
     )
     if refresh is not None:
         p = refresh(p)
@@ -313,7 +344,8 @@ def v_cycle(
     else:
         p = p + prolong(lvl, ec, topo.capacity)
     return prs.solve_pressure(
-        topo, div, n_post, dx, omega, p0=p, mask=mask, refresh=refresh
+        topo, div, n_post, dx, omega, p0=p, mask=mask, refresh=refresh,
+        **({"halo_lag": n_post} if (smooth_lag and refresh is None) else {}),
     )
 
 
