@@ -120,10 +120,10 @@ def main():
 
     cases = {
         "rbgs50_lag5": rbgs_fn(50, 5),
-        "mg3_2cyc": mg_fn(3, 2),
         "mg5_2cyc": mg_fn(5, 2),
         "mg5_4cyc": mg_fn(5, 4),
-        "mg5_2cyc_c48": mg_fn(5, 2, coarsest=48),
+        "mg5_6cyc": mg_fn(5, 6),
+        "mg5_4cyc_c48": mg_fn(5, 4, coarsest=48),
     }
 
     # component pieces at the fine level
