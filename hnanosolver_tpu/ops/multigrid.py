@@ -201,9 +201,25 @@ def restrict(level: MGLevel, fine: jax.Array) -> jax.Array:
     return jnp.take(ch, jnp.asarray(_PERM_ASSEMBLE), axis=1)
 
 
+# Above this many bytes for the [Tc*8, 512] octant-expanded coarse array,
+# prolongation falls back to the 8-sequential-gather form (lower peak, more
+# passes) — the merged form holds source + expansion + output at once.
+PROLONG_MERGE_BUDGET = 1 * 1024**3
+
+
 def prolong(level: MGLevel, coarse: jax.Array, fine_capacity: int) -> jax.Array:
     """[Tc,512] -> [Tf,512] (flat layout): pick each fine tile's 4^3 octant
-    of its parent and upsample 2x (piecewise constant)."""
+    of its parent and upsample 2x (piecewise constant).
+
+    One lane permutation expands the coarse rows to all 8 octant views
+    [Tc*8, 512]; one row gather (parent*8 + octant) lands every fine tile —
+    vs 8 full fine-size gather+select passes (bit-identical values, same
+    lane maps)."""
+    Tc = coarse.shape[0]
+    if Tc * 8 * 512 * 4 <= PROLONG_MERGE_BUDGET:
+        sel = jnp.take(coarse, jnp.asarray(_IDX_OCT.reshape(-1)), axis=1)
+        sel = sel.reshape(Tc * 8, 512)
+        return jnp.take(sel, level.parent * 8 + level.octant, axis=0)
     par = jnp.take(coarse, level.parent, axis=0)  # [Tf, 512]
     out = jnp.zeros_like(par)
     oct_ = level.octant[:, None]
@@ -257,6 +273,14 @@ def prolong_trilinear(level: MGLevel, coarse: jax.Array) -> jax.Array:
     # gathering [Tf, 4096] first was a 4.1 GB temp at 1024^3 (the largest
     # allocation in the probe r4/004 OOM); this order is the same two takes
     # commuted, peaking at [Tc, 4096] + 2x [Tf, 512] instead.
+    if Tc * 8 * 512 * 4 <= PROLONG_MERGE_BUDGET:
+        # merged form: ONE lane permutation expands the parity stack to all
+        # 8 octant views [Tc*8, 512], ONE row gather (parent*8 + octant)
+        # lands every fine tile — vs 8 full fine-size gather+select passes
+        # (bit-identical: same lane maps, same source values)
+        sel = jnp.take(stacked, jnp.asarray(_IDX_OCT_Q.reshape(-1)), axis=1)
+        sel = sel.reshape(Tc * 8, 512)
+        return jnp.take(sel, level.parent * 8 + level.octant, axis=0)
     out = jnp.zeros((level.parent.shape[0], 512), coarse.dtype)
     oct_ = level.octant[:, None]
     for o in range(8):

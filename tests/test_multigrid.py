@@ -227,3 +227,33 @@ def test_vcycle_depth3_converges_on_sparse_cone():
         r_prev = r
     # 3 cycles of depth-3 must make real progress on the cone
     assert r_prev < 0.15 * _l2(topo, div)
+
+
+def test_prolong_merged_matches_sequential_form():
+    """The merged prolongation (one lane perm + one row gather) must be
+    bit-identical to the 8-sequential-gather fallback for both the
+    trilinear and piecewise-constant operators."""
+    from hnanosolver_tpu.ops import multigrid as mg
+
+    topo = build_topology_dense((24, 24, 24))
+    hier = build_hierarchy(topo, 1)
+    lvl = hier[0]
+    rng = np.random.default_rng(3)
+    coarse = np.zeros((lvl.topo.capacity, 512), np.float32)
+    nc = int(lvl.topo.n_active)
+    coarse[1 : nc + 1] = rng.normal(size=(nc, 512)).astype(np.float32)
+    coarse = jnp.asarray(coarse)
+
+    old_budget = mg.PROLONG_MERGE_BUDGET
+    try:
+        mg.PROLONG_MERGE_BUDGET = 1 << 60
+        tri_m = prolong_trilinear(lvl, coarse)
+        pc_m = prolong(lvl, coarse, topo.capacity)
+        mg.PROLONG_MERGE_BUDGET = 0
+        tri_s = prolong_trilinear(lvl, coarse)
+        pc_s = prolong(lvl, coarse, topo.capacity)
+    finally:
+        mg.PROLONG_MERGE_BUDGET = old_budget
+
+    assert jnp.array_equal(tri_m, tri_s)
+    assert jnp.array_equal(pc_m, pc_s)
