@@ -72,6 +72,11 @@ class SolverParams:
     # Residual target for "mg": stop cycling once max|r| <= mg_tol * max|div|
     # (``iterations`` caps the cycle count). None = run ``iterations`` cycles.
     mg_tol: float | None = None
+    # Full-multigrid (nested-iteration) initial guess before the V-cycles —
+    # ~one coarse-side cycle of extra cost replacing 1-2 fine cycles on the
+    # global mode (measured 6x residual at equal cost on the tile sphere).
+    # Single-chip only; the sharded step ignores it.
+    mg_fmg: bool = True
     combustion: CombustionParams = dataclasses.field(default_factory=CombustionParams)
     has_collision: bool = False
     # Documented deviations from the reference (SURVEY §7.5):

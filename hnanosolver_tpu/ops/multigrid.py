@@ -373,6 +373,51 @@ def v_cycle(
     )
 
 
+def fmg_initial_guess(
+    topo: Topology,
+    hierarchy: List[MGLevel],
+    div: jax.Array,
+    dx: float,
+    omega: float,
+    n_pre: int = 2,
+    n_post: int = 2,
+    n_coarsest: int = 24,
+    prolongation: str = "trilinear",
+) -> jax.Array:
+    """Full-multigrid (nested-iteration) initial guess: restrict the RHS to
+    every level, solve the coarsest, then per level prolong the SOLUTION up
+    and refine with one V-cycle at that level. Costs ~one extra coarse-side
+    V-cycle (fine-level work: one V-cycle's worth at most) and replaces the
+    first 1-2 fine V-cycles a zero guess would need on the global mode —
+    the standard FMG recipe. Single-chip only (coarse levels are cheap and
+    the sharded path replicates them; the fine level's FMG V-cycle would
+    need refresh threading — callers with refresh use plain cycles)."""
+    divs = [div]
+    for lvl in hierarchy:
+        divs.append(restrict(lvl, divs[-1]) * lvl.mask)
+    # coarsest solve
+    last = hierarchy[-1]
+    p = prs.solve_pressure(
+        last.topo, divs[-1], n_coarsest, dx * (2.0 ** len(hierarchy)),
+        omega, mask=last.mask,
+    )
+    for k in reversed(range(len(hierarchy))):
+        lvl = hierarchy[k]
+        if prolongation == "trilinear":
+            p = prolong_trilinear(lvl, p)
+        else:
+            p = prolong(lvl, p, divs[k].shape[0])
+        t_k = topo if k == 0 else hierarchy[k - 1].topo
+        m_k = None if k == 0 else hierarchy[k - 1].mask
+        if m_k is not None:
+            p = p * m_k
+        p = v_cycle(
+            t_k, hierarchy[k:], divs[k], p, dx * (2.0 ** k), omega,
+            n_pre, n_post, n_coarsest, prolongation, m_k,
+        )
+    return p
+
+
 def solve_pressure_mg(
     topo: Topology,
     hierarchy: List[MGLevel],
@@ -383,16 +428,27 @@ def solve_pressure_mg(
     tol: float | None = None,
     refresh=None,
     coarse_reduce=None,
+    fmg: bool = False,
     **kw,
 ) -> jax.Array:
-    """``cycles`` V-cycles from a zero initial guess.
+    """``cycles`` V-cycles from a zero initial guess (or an FMG nested-
+    iteration guess with ``fmg=True``; single-chip only — ignored when a
+    refresh/coarse_reduce hook is given).
 
     With ``tol`` set, cycles stop early once ``max|r|/max|div| <= tol``
     (``cycles`` becomes the cap) — solve-to-residual rather than
     solve-by-count, the criterion SURVEY §7.4 prescribes for parity."""
     kw["refresh"] = refresh
     kw["coarse_reduce"] = coarse_reduce
-    p = jnp.zeros_like(div)
+    if fmg and hierarchy and refresh is None and coarse_reduce is None:
+        p = fmg_initial_guess(
+            topo, hierarchy, div, dx, omega,
+            n_pre=kw.get("n_pre", 2), n_post=kw.get("n_post", 2),
+            n_coarsest=kw.get("n_coarsest", 24),
+            prolongation=kw.get("prolongation", "trilinear"),
+        )
+    else:
+        p = jnp.zeros_like(div)
     if tol is None:
         for _ in range(cycles):
             p = v_cycle(topo, hierarchy, div, p, dx, omega, **kw)

@@ -132,6 +132,7 @@ def step_impl(
             params.omega, tol=params.mg_tol, n_pre=params.mg_pre,
             n_post=params.mg_post, n_coarsest=params.mg_coarsest,
             refresh=rf_solver, coarse_reduce=coarse_reduce,
+            fmg=params.mg_fmg,
         )
     else:
         p = prs.solve_pressure(
