@@ -189,6 +189,10 @@ def _advect_vmem(
             # live across the WHOLE sampling pass — the limiter instead
             # runs fused per row block after sampling (_bfecc_limit_blocks)
             lohi = None
+        elif _tail_kernel_ok(topo):
+            # on-chip: the fused tail kernel computes bounds itself after
+            # sampling (one launch, fields read once) — bit-identical
+            lohi = None
         else:
             mins, maxs = sh.face_minmax_multi(topo, phi0s)
             lohi = (jnp.minimum(phi0s, mins), jnp.maximum(phi0s, maxs))
@@ -539,6 +543,15 @@ CLAMP_VIEWS_BUDGET = 2 * 1024**3
 ADVECT_TRANSIENT_BUDGET = 3 * 1024**3
 
 
+def _tail_kernel_ok(topo) -> bool:
+    """Use the fused Pallas BFECC tail (ops/pallas_tail.py) — real TPU only
+    (the XLA forms are faster than interpret mode elsewhere; tests compare
+    both paths bit-exactly with interpret=True explicitly)."""
+    from hnanosolver_tpu.ops import pallas_tail as pt
+
+    return bool(pt.TAIL_KERNEL) and pt._on_tpu()
+
+
 def _minmax_clamp_multi(topo, phi0s, phi_fs, corrs):
     """BFECC min-max clamp over F stacked fields [F,T,512]: clamp each
     corrected value to [min, max] over its voxel, 6 face neighbors, and
@@ -616,6 +629,13 @@ def _bfecc_limit(topo, phi0s, pf, pb, lohi):
                         jnp.maximum(lohi[1], pf))
     if phi0s.size * 4 * 2 > sh.MINMAX_VIEWS_BUDGET:
         return _bfecc_limit_blocks(topo, phi0s, pf, pb)
+    if _tail_kernel_ok(topo):
+        # fused tail kernel: packed-plane gather + in-VMEM views/bounds/
+        # correction/clip — one launch, fields read once (bit-identical
+        # to the XLA forms below; see ops/pallas_tail.py)
+        from hnanosolver_tpu.ops import pallas_tail as pt
+
+        return pt.bfecc_tail_fused(topo, phi0s, pf, pb)
     corrs = pf + 0.5 * (phi0s - pb)
     return _minmax_clamp_multi(topo, phi0s, pf, corrs)
 

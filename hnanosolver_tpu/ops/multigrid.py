@@ -362,6 +362,7 @@ def v_cycle(
         n_coarsest,
         prolongation,
         lvl.mask,
+        smooth_lag=smooth_lag,
     )
     if prolongation == "trilinear":
         p = p + prolong_trilinear(lvl, ec)
@@ -383,6 +384,7 @@ def fmg_initial_guess(
     n_post: int = 2,
     n_coarsest: int = 24,
     prolongation: str = "trilinear",
+    smooth_lag: bool = True,
 ) -> jax.Array:
     """Full-multigrid (nested-iteration) initial guess: restrict the RHS to
     every level, solve the coarsest, then per level prolong the SOLUTION up
@@ -414,6 +416,7 @@ def fmg_initial_guess(
         p = v_cycle(
             t_k, hierarchy[k:], divs[k], p, dx * (2.0 ** k), omega,
             n_pre, n_post, n_coarsest, prolongation, m_k,
+            smooth_lag=smooth_lag,
         )
     return p
 
@@ -446,6 +449,7 @@ def solve_pressure_mg(
             n_pre=kw.get("n_pre", 2), n_post=kw.get("n_post", 2),
             n_coarsest=kw.get("n_coarsest", 24),
             prolongation=kw.get("prolongation", "trilinear"),
+            smooth_lag=kw.get("smooth_lag", True),
         )
     else:
         p = jnp.zeros_like(div)
