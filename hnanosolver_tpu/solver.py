@@ -209,18 +209,27 @@ def advect_velocity(topo: Topology, vel: jax.Array, dt: float, voxel_size: float
     return adv.advect_velocity(topo, vel, dt, 1.0 / voxel_size)
 
 
-@partial(jax.jit, static_argnames=("iterations", "voxel_size"))
+@partial(jax.jit, static_argnames=("iterations", "voxel_size", "halo_lag"))
 def project(
-    topo: Topology, vel: jax.Array, iterations: int, voxel_size: float
+    topo: Topology, vel: jax.Array, iterations: int, voxel_size: float,
+    halo_lag: int = 5,
 ) -> jax.Array:
     """HNanoProjectNonDivergent: divergence -> RBGS -> gradient subtraction
-    (`/root/reference/src/Cuda/PressureProjection.cu:9-79`)."""
+    (`/root/reference/src/Cuda/PressureProjection.cu:9-79`).
+
+    ``halo_lag=5`` matches the production step (residual-equal to the
+    textbook solve at 50 iterations — config.halo_lag doc); the per-sweep
+    fresh-halo path measured ~190x slower PER SWEEP at 253k tiles
+    (probe r4/105: 6 gathers + a launch per color sweep)."""
     inv_dx = 1.0 / voxel_size
     div = stn.divergence(topo, vel, inv_dx)
     import math
 
     omega = 2.0 / (1.0 + math.sin(3.14159 * voxel_size))
-    p = prs.solve_pressure(topo, div, iterations, voxel_size, omega)
+    p = prs.solve_pressure(
+        topo, div, iterations, voxel_size, omega,
+        halo_lag=halo_lag if iterations % halo_lag == 0 else 1,
+    )
     return stn.subtract_pressure_gradient(topo, vel, p, inv_dx)
 
 
