@@ -35,10 +35,11 @@ from hnanosolver_tpu.ops import shifts as sh
 
 
 # Master switch (A/B probes flip it); the integration gate is
-# advection._tail_kernel_ok. Default OFF until the on-chip probe confirms
-# compile + bitwise parity (probe r4/107) — flipped there, not here, so a
-# Mosaic rejection can never take down the round-end bench.
-TAIL_KERNEL: bool = False
+# advection._tail_kernel_ok. Probe r4/107 (on-chip): compiles, BITWISE
+# parity 0.0 vs the XLA path (kernel alone and the full scalar pass), and
+# the 5-field balanced scalar pass measured 8.0-12.8 ms vs 14.4-21.3 off
+# (ratio 0.56, interleaved same-window, every round on wins).
+TAIL_KERNEL: bool = True
 
 
 def _pick_g(T: int) -> int:
