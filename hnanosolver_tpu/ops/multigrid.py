@@ -304,7 +304,7 @@ def v_cycle(
     mask: jax.Array | None = None,
     refresh=None,
     coarse_reduce=None,
-    smooth_lag: bool = True,
+    smooth_lag: bool | str = "pair",
 ) -> jax.Array:
     """One V-cycle of the reference's commented driver (HNanoSolver.cu:399-506),
     recursing down ``hierarchy``. ``mask`` is THIS level's in-domain voxel
@@ -315,24 +315,38 @@ def v_cycle(
     each device restricts its OWNED fine tiles into the global coarse table
     and ``coarse_reduce`` (a psum over the mesh axis) combines them; the
     coarse solve then runs identically on every device."""
-    # Smoothing needs no exact cross-tile halo: with ``smooth_lag`` each
-    # n_pre/n_post-pair smoothing call gathers its halo ONCE (the lagged
-    # G=32 kernel) instead of before every color sweep — 4x fewer gather
-    # bytes per pre/post smooth at 2 pairs, and the 7.9 GB/cycle fine-level
-    # gather traffic at 1024^3 drops ~4x. Residual-equivalence is covered by
-    # the lagged-vs-textbook tests; the fused whole-solve kernel (small T)
-    # and the XLA backend ignore the hint.
-    lag = {"halo_lag": n_pre} if (smooth_lag and refresh is None) else {}
+    # Smoothing halo granularity (``smooth_lag``, TPU pallas paths only):
+    #   "pair" (default): the lagged G=32 kernel at one-PAIR granularity —
+    #       one fused gather + one launch per red+black pair; the black
+    #       half-sweep sees a halo stale by one half-sweep. ~2x cheaper
+    #       than textbook per-color smoothing at ~equal MG convergence.
+    #   True: halo gathered once per n_pre-pair smoothing call (lag-2 at
+    #       the defaults) — cheapest, but measured 1.6-1.8x WORSE V-cycle
+    #       residual at 1024^3 (probe r4/108: ratio 0.20 -> 0.36 at 4
+    #       cycles): stale boundaries re-inject error every cycle.
+    #   False: textbook per-color halos (the probe-108 reference).
+    if refresh is not None or not smooth_lag:
+        lag = {}
+    elif smooth_lag == "pair":
+        lag = {"pair_blocks": True}
+    else:
+        lag = {"halo_lag": n_pre}
     if not hierarchy:
         # The coarsest call is a SOLVE, not a smoother — halos must stay
-        # fresh enough to converge (lag-50 measured 3.4x worse residual at
-        # bench scale, NOTES fact 39), so cap its lag at 4 pairs. Usually
-        # moot: a deep-enough coarsest is <= MAX_FUSED_ROWS and takes the
-        # textbook whole-solve kernel regardless.
+        # fresh (lag-50 measured 3.4x worse residual at bench scale, NOTES
+        # fact 39): pair granularity, or lag-4 in the legacy True mode.
+        # Usually moot: a deep-enough coarsest is <= MAX_FUSED_ROWS and
+        # takes the textbook whole-solve kernel regardless.
+        if refresh is None and smooth_lag == "pair":
+            ck = {"pair_blocks": True}
+        elif (refresh is None and smooth_lag is True
+              and n_coarsest % 4 == 0):
+            ck = {"halo_lag": 4}
+        else:
+            ck = {}
         return prs.solve_pressure(
-            topo, div, n_coarsest, dx, omega, p0=p, mask=mask, refresh=refresh,
-            **({"halo_lag": 4} if (smooth_lag and refresh is None
-                                   and n_coarsest % 4 == 0) else {}),
+            topo, div, n_coarsest, dx, omega, p0=p, mask=mask,
+            refresh=refresh, **ck,
         )
     lvl = hierarchy[0]
     p = prs.solve_pressure(
@@ -368,9 +382,12 @@ def v_cycle(
         p = p + prolong_trilinear(lvl, ec)
     else:
         p = p + prolong(lvl, ec, topo.capacity)
+    post_lag = dict(lag)
+    if post_lag.get("halo_lag") is not None:
+        post_lag["halo_lag"] = n_post
     return prs.solve_pressure(
         topo, div, n_post, dx, omega, p0=p, mask=mask, refresh=refresh,
-        **({"halo_lag": n_post} if (smooth_lag and refresh is None) else {}),
+        **post_lag,
     )
 
 
@@ -384,7 +401,7 @@ def fmg_initial_guess(
     n_post: int = 2,
     n_coarsest: int = 24,
     prolongation: str = "trilinear",
-    smooth_lag: bool = True,
+    smooth_lag: bool | str = "pair",
 ) -> jax.Array:
     """Full-multigrid (nested-iteration) initial guess: restrict the RHS to
     every level, solve the coarsest, then per level prolong the SOLUTION up

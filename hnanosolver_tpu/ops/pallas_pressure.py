@@ -364,14 +364,17 @@ def solve_pressure_pallas(
     dx2 = float(dx) * float(dx)
     red = _build(0, float(omega), dx2, T, bool(interpret))
     black = _build(1, float(omega), dx2, T, bool(interpret))
-    nbr_cols = [topo.nbr[:, d_of(off)] for off in _DIRS]
+    # ONE row gather feeds all six face directions (six separate takes were
+    # ~5 extra dispatched gathers per color sweep — the lagged path's form)
+    nbr6 = jnp.concatenate([topo.nbr[:, d_of(off)] for off in _DIRS])
     p = jnp.zeros_like(div) if p0 is None else p0
     if mask is not None:
         p = p * mask
         porg = jnp.where(mask > 0, porg, porg + 2)  # bit 1 => never update
 
     def faces(p):
-        return [jnp.take(p, c, axis=0) for c in nbr_cols]
+        f6 = jnp.take(p, nbr6, axis=0).reshape(6, T, TILE)
+        return [f6[i] for i in range(6)]
 
     def body(_, p):
         p = rf(p)

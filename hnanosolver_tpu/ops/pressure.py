@@ -54,6 +54,7 @@ def solve_pressure(
     refresh=None,
     mask: jax.Array | None = None,
     halo_lag: int = 1,
+    pair_blocks: bool = False,
 ) -> jax.Array:
     """Run ``iterations`` red+black SOR sweeps from p0 (zeros by default).
     div, p: [T,512]. ``backend``: "pallas" (fused sweep kernel; auto on
@@ -79,7 +80,13 @@ def solve_pressure(
                 topo, div, iterations, dx, omega, p0=p0,
                 interpret=not _on_tpu(), mask=mask,
             )
-        if refresh is None and halo_lag > 1:
+        if refresh is None and (halo_lag > 1 or pair_blocks):
+            # pair_blocks: the lagged kernel at ONE-PAIR granularity — the
+            # halo refreshes per red+black pair (the black half-sweep sees
+            # a halo stale by one half-sweep; halo_lag=1 without it keeps
+            # the public textbook per-color semantics). ~2x cheaper than
+            # per-color (one fused gather + one launch per pair) — the MG
+            # smoothing mode (ops/multigrid.v_cycle smooth_lag="pair").
             from hnanosolver_tpu.ops.pallas_pressure import (
                 solve_pressure_lagged,
             )
