@@ -28,6 +28,14 @@ _AXIS_OFFS = (((1, 0, 0), (-1, 0, 0)), ((0, 1, 0), (0, -1, 0)),
               ((0, 0, 1), (0, 0, -1)))
 
 
+def _stencil_kernel_ok() -> bool:
+    """Fused Pallas stencil kernels (ops/pallas_stencil.py) — real TPU only;
+    the XLA forms stay the CPU/test oracle (bit-identical, tested)."""
+    from hnanosolver_tpu.ops import pallas_stencil as ps
+
+    return bool(ps.STENCIL_KERNEL) and ps._on_tpu()
+
+
 def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
     """div(u) at cell centers: the reference averages face values
     0.5*(u_c + u_nbr) on both sides and differences them (`Kernel.cu:511-518`),
@@ -46,6 +54,10 @@ def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
             acc = term if acc is None else acc + term
             acc, src = jax.lax.optimization_barrier((acc, src))
         return acc * (0.5 * inv_dx)
+    if _stencil_kernel_ok():
+        from hnanosolver_tpu.ops import pallas_stencil as ps
+
+        return ps.divergence_fused(topo, vel, inv_dx)
     ux, uy, uz = vel[0], vel[1], vel[2]
     return (
         (shifted_view(topo, ux, (1, 0, 0)) - shifted_view(topo, ux, (-1, 0, 0)))
@@ -88,6 +100,10 @@ def subtract_pressure_gradient(
             comp, src = jax.lax.optimization_barrier((comp, src))
             comps.append(comp)
         return jnp.stack(comps)
+    if _stencil_kernel_ok():
+        from hnanosolver_tpu.ops import pallas_stencil as ps
+
+        return ps.subtract_gradient_fused(topo, vel, p, inv_dx)
     return vel - pressure_gradient(topo, p, inv_dx)
 
 
