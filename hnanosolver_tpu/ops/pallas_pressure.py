@@ -158,6 +158,16 @@ def solve_pressure_lagged(
     p = jnp.zeros_like(div) if p0 is None else p0
     if mask is not None:
         p = p * mask
+    if PLANES_HALO:
+        fnp = _build_lagged_planes(
+            int(halo_lag), float(omega), float(dx) * float(dx), T,
+            bool(interpret), porg.shape[1]
+        )
+
+        def body_p(_, p):
+            return fnp(p, div, porg, _planes_of(topo, p))
+
+        return jax.lax.fori_loop(0, iterations // halo_lag, body_p, p)
     fn = _build_lagged(
         int(halo_lag), float(omega), float(dx) * float(dx), T,
         bool(interpret), porg.shape[1]
@@ -170,6 +180,108 @@ def solve_pressure_lagged(
         return fn(p, div, porg, faces)
 
     return jax.lax.fori_loop(0, iterations // halo_lag, body, p)
+
+
+# Packed-plane halos for the lagged kernel (master switch; A/B probes flip
+# it, integration keeps the full-face path as the oracle). The round-3
+# packed-SHELL attempt lost on in-kernel roll-ladder expansion (NOTES r3
+# fact 27: ~60 un-hideable VPU rolls/launch); this version lands the planes
+# with exact one-hot MXU dots instead (NOTES r4 fact 47) and packs XLA-side:
+# the halo gather moves [6,T,64] instead of [6,T,512] — 8x fewer gathered
+# bytes on the solve's dominant term. Default OFF until the on-chip probe
+# confirms compile + bitwise parity + a wall-clock win; flipped there.
+PLANES_HALO: bool = False
+
+
+def _kernel_lagged_planes(K: int, omega: float, dx2: float, G: int,
+                          p_ref, div_ref, porg_ref, planes_ref, out_ref):
+    """_kernel_lagged with the cross-tile halo delivered as six packed
+    64-lane planes ([6, G, 64]) instead of six full neighbor rows; each
+    plane is landed on its boundary lanes by an exact one-hot MXU dot
+    (same construction as ops/pallas_tail.py — bit-identical placement to
+    the rolled full-row fix, asserted in tests and on-chip)."""
+    from hnanosolver_tpu.ops.pallas_stencil import _masks_and_expand
+
+    masks, expand = _masks_and_expand(G)
+    fixes = [
+        jax.lax.dot_general(
+            planes_ref[di], expand[off], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for di, off in enumerate(_DIRS)
+    ]
+    porg = jnp.broadcast_to(porg_ref[:], (G, TILE))
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 1)
+    cx, cy, cz = col // 64, (col // 8) % 8, col % 8
+    parity = (porg + cx + cy + cz) & 1
+    in_dom = porg < 2
+
+    def sweep(color, p):
+        nbr_sum = jnp.zeros((G, TILE), jnp.float32)
+        for off, fix in zip(_DIRS, fixes):
+            s_in, _ = _ROLLS[off]
+            nbr_sum = nbr_sum + jnp.where(
+                masks[off], fix, pltpu.roll(p, s_in % TILE, 1)
+            )
+        pgs = (nbr_sum - div_ref[:] * dx2) * (1.0 / 6.0)
+        upd = (parity == color) & in_dom
+        return jnp.where(upd, p + omega * (pgs - p), p)
+
+    def body(_, p):
+        return sweep(1, sweep(0, p))
+
+    out_ref[:] = jax.lax.fori_loop(0, K, body, p_ref[:])
+
+
+@functools.lru_cache(maxsize=None)
+def _build_lagged_planes(K: int, omega: float, dx2: float, T: int,
+                         interpret: bool, porg_cols: int = TILE):
+    G = _pick_g(T)
+    spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((G, porg_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec(
+        (6, G, 64), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_lagged_planes, K, omega, dx2, G),
+        grid=(T // G,),
+        in_specs=[spec, spec, pspec, fspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((T, TILE), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _plane_cols():
+    """Pure-numpy twin of shifts._plane_maps(1)'s plane columns (numpy so
+    it stays a constant when first touched inside a trace)."""
+    import numpy as np
+
+    from hnanosolver_tpu.ops import shifts as sh
+
+    cols = []
+    for off in _DIRS:
+        mask, _, s_fix = sh._DIRS[off]
+        bl = np.nonzero(np.asarray(mask).reshape(-1))[0]
+        cols.append((bl - s_fix) % TILE)
+    return np.concatenate(cols)
+
+
+def _planes_of(topo: Topology, p: jax.Array) -> jax.Array:
+    """[6, T, 64] packed halo planes of ``p``: per direction, each tile's
+    face neighbor's touching 64-lane plane — ONE lane take + ONE transpose
+    + ONE row gather (vs six [T,512] face rows: 8x fewer gathered bytes)."""
+    from hnanosolver_tpu.ops import shifts as sh
+
+    T = p.shape[0]
+    P = jnp.take(p, _plane_cols(), axis=1)  # [T, 6*64], direction-major
+    src = jnp.swapaxes(P.reshape(T, 6, 64), 0, 1).reshape(6 * T, 64)
+    idx = jnp.concatenate(
+        [topo.nbr[:, d_of(off)] + i * T for i, off in enumerate(_DIRS)]
+    )
+    return jnp.take(src, idx, axis=0).reshape(6, T, 64)
 
 
 def _kernel(color: int, omega: float, dx2: float, G: int,

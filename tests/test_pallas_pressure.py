@@ -106,3 +106,36 @@ def test_pair_blocks_residual_close_to_textbook(rng):
     r_ref = float(jnp.max(jnp.abs(residual(topo, ref, div, dx))))
     r_got = float(jnp.max(jnp.abs(residual(topo, got, div, dx))))
     assert r_got <= 1.3 * r_ref + 1e-4, (r_got, r_ref)
+
+
+def test_planes_halo_bitwise(rng):
+    """Packed-plane lagged halo (PLANES_HALO) is bit-identical to the
+    full-face lagged path: same fix values on the boundary lanes (one-hot
+    MXU placement is exact), same sweep order."""
+    from hnanosolver_tpu.ops import pallas_pressure as pp
+
+    tiles = [(x, y, z) for x in range(4) for y in range(3) for z in range(3)
+             if (x + 2 * y + z) % 7 != 5]
+    topo = build_topology(np.array(tiles, np.int32), capacity=64)
+    div = jnp.asarray(
+        rng.standard_normal((topo.capacity, 512)).astype(np.float32)
+    ) * active_mask(topo)[:, None]
+    mask = (jnp.asarray(rng.random((topo.capacity, 512))) > 0.3).astype(
+        jnp.float32
+    )
+    old = pp.PLANES_HALO
+    try:
+        for kw in ({"halo_lag": 5, "iterations": 10},
+                   {"halo_lag": 1, "iterations": 4},
+                   {"halo_lag": 2, "iterations": 4, "mask": mask}):
+            it = kw.pop("iterations")
+            lag = kw.pop("halo_lag")
+            pp.PLANES_HALO = False
+            a = pp.solve_pressure_lagged(
+                topo, div, it, 0.25, 1.17, lag, interpret=True, **kw)
+            pp.PLANES_HALO = True
+            b = pp.solve_pressure_lagged(
+                topo, div, it, 0.25, 1.17, lag, interpret=True, **kw)
+            assert bool(jnp.all(a == b)), (lag, it, kw)
+    finally:
+        pp.PLANES_HALO = old
