@@ -466,7 +466,7 @@ def solve_pressure_mg(
             n_pre=kw.get("n_pre", 2), n_post=kw.get("n_post", 2),
             n_coarsest=kw.get("n_coarsest", 24),
             prolongation=kw.get("prolongation", "trilinear"),
-            smooth_lag=kw.get("smooth_lag", True),
+            smooth_lag=kw.get("smooth_lag", "pair"),
         )
     else:
         p = jnp.zeros_like(div)

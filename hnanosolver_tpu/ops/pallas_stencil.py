@@ -173,6 +173,51 @@ def _build_subgrad(T: int, scale: float, interpret: bool):
     )
 
 
+def _residual_kernel(G: int, dx2: float, p_ref, div_ref, planes_ref,
+                     out_ref):
+    masks, expand = _masks_and_expand(G)
+    p = p_ref[:]
+    acc = None
+    for di, off in enumerate(sh.FACE_DIRS):
+        v = _view(p, planes_ref[di], off, masks, expand)
+        acc = v if acc is None else acc + v
+    out_ref[:] = div_ref[:] - (acc - 6.0 * p) / dx2
+
+
+@functools.lru_cache(maxsize=None)
+def _build_residual(T: int, dx2: float, interpret: bool):
+    G = _pick_g(T)
+    spec = pl.BlockSpec((G, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_residual_kernel, G, dx2),
+        grid=(T // G,),
+        in_specs=[
+            spec,
+            spec,
+            pl.BlockSpec((6, G, 64), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((T, TILE), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def residual_fused(topo: Topology, p: jax.Array, div: jax.Array, dx: float,
+                   interpret=None) -> jax.Array:
+    """div - (neighbor_sum(p) - 6 p)/dx^2 in one launch — bit-identical to
+    ops/pressure.residual's XLA form (same left-associated add order). The
+    only transient is the [6,T,64] packed-plane gather (field/8), smaller
+    than even ONE full shifted view, so this form is safe at every domain
+    size (the multigrid V-cycle computes a fine-level residual per cycle —
+    at 1024^3 the XLA form's gathers move 8x more halo bytes)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    planes = _field_planes(topo, p)
+    fn = _build_residual(p.shape[0], float(dx) * float(dx), bool(interpret))
+    return fn(p, div, planes)
+
+
 def _field_planes(topo: Topology, p: jax.Array):
     """[6, T, 64]: each direction's touching plane of ``p``'s neighbor."""
     maps = sh._plane_maps(1)

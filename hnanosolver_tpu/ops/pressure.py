@@ -129,6 +129,13 @@ def solve_pressure(
 def residual(topo: Topology, p: jax.Array, div: jax.Array, dx: float) -> jax.Array:
     """Pointwise residual r = div - L(p) of the discrete Poisson problem
     L(p) = (sum nbrs - 6 p) / dx^2 (the system the GS update solves)."""
+    from hnanosolver_tpu.ops import pallas_stencil as pst
+
+    if pst.STENCIL_KERNEL and pst._on_tpu():
+        # fused packed-plane kernel (bit-identical, smaller transients at
+        # every size — safe even at 1024^3 where the XLA form must
+        # barrier-chain its gathers)
+        return pst.residual_fused(topo, p, div, dx)
     lap = (neighbor_sum(topo, p) - 6.0 * p) / (dx * dx)
     return div - lap
 

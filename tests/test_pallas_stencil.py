@@ -47,3 +47,26 @@ def test_subtract_gradient_fused_bitwise():
     got = subtract_gradient_fused(topo, vel, p, inv_dx, interpret=True)
     want = stn.subtract_pressure_gradient(topo, vel, p, inv_dx)
     assert jnp.array_equal(got, want), float(jnp.max(jnp.abs(got - want)))
+
+
+def test_residual_fused_bitwise():
+    from hnanosolver_tpu.ops import pressure as prs
+    from hnanosolver_tpu.ops.pallas_stencil import residual_fused
+
+    topo = _topo()
+    rng = np.random.default_rng(5)
+    p = rng.normal(size=(topo.capacity, 512)).astype(np.float32)
+    p[0] = 0.0
+    p = jnp.asarray(p)
+    div = jnp.asarray(
+        rng.normal(size=(topo.capacity, 512)).astype(np.float32))
+    import jax
+
+    for dx in (0.5, 0.3):
+        got = residual_fused(topo, p, div, dx, interpret=True)
+        # compare against the JITTED XLA form — the production path; the
+        # eager dispatch path contracts (nbrsum - 6p)/dx^2 differently by
+        # one ulp
+        want = jax.jit(prs.residual, static_argnames=("dx",))(
+            topo, p, div, dx=dx)
+        assert jnp.array_equal(got, want), float(jnp.max(jnp.abs(got - want)))
