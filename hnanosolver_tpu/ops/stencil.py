@@ -46,6 +46,13 @@ def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
     six view gathers concurrently — see shifts.neighbor_sum."""
     from hnanosolver_tpu.ops.shifts import NBRSUM_VIEWS_BUDGET
 
+    if _stencil_kernel_ok():
+        # checked BEFORE the at-scale barrier-chain branch: the fused
+        # kernel's only transient is the [6,T,64] packed-plane gather —
+        # smaller than even ONE of the chain's full shifted views
+        from hnanosolver_tpu.ops import pallas_stencil as ps
+
+        return ps.divergence_fused(topo, vel, inv_dx)
     if 2 * vel.size * 4 > NBRSUM_VIEWS_BUDGET:
         acc = None
         src = vel
@@ -54,10 +61,6 @@ def divergence(topo: Topology, vel: jax.Array, inv_dx: float) -> jax.Array:
             acc = term if acc is None else acc + term
             acc, src = jax.lax.optimization_barrier((acc, src))
         return acc * (0.5 * inv_dx)
-    if _stencil_kernel_ok():
-        from hnanosolver_tpu.ops import pallas_stencil as ps
-
-        return ps.divergence_fused(topo, vel, inv_dx)
     ux, uy, uz = vel[0], vel[1], vel[2]
     return (
         (shifted_view(topo, ux, (1, 0, 0)) - shifted_view(topo, ux, (-1, 0, 0)))
@@ -89,6 +92,11 @@ def subtract_pressure_gradient(
     (bit-identical) instead of materializing all six p-views at once."""
     from hnanosolver_tpu.ops.shifts import NBRSUM_VIEWS_BUDGET
 
+    if _stencil_kernel_ok():
+        # before the at-scale branch — see divergence
+        from hnanosolver_tpu.ops import pallas_stencil as ps
+
+        return ps.subtract_gradient_fused(topo, vel, p, inv_dx)
     if 2 * vel.size * 4 > NBRSUM_VIEWS_BUDGET:
         comps = []
         src = p
@@ -100,10 +108,6 @@ def subtract_pressure_gradient(
             comp, src = jax.lax.optimization_barrier((comp, src))
             comps.append(comp)
         return jnp.stack(comps)
-    if _stencil_kernel_ok():
-        from hnanosolver_tpu.ops import pallas_stencil as ps
-
-        return ps.subtract_gradient_fused(topo, vel, p, inv_dx)
     return vel - pressure_gradient(topo, p, inv_dx)
 
 
