@@ -188,9 +188,12 @@ def solve_pressure_lagged(
 # fact 27: ~60 un-hideable VPU rolls/launch); this version lands the planes
 # with exact one-hot MXU dots instead (NOTES r4 fact 47) and packs XLA-side:
 # the halo gather moves [6,T,64] instead of [6,T,512] — 8x fewer gathered
-# bytes on the solve's dominant term. Default OFF until the on-chip probe
-# confirms compile + bitwise parity + a wall-clock win; flipped there.
-PLANES_HALO: bool = False
+# bytes on the solve's dominant term. Validated on-chip (probe 115):
+# parity vs the full-face path is 1.2e-35 max (Mosaic's HIGHEST limb-split
+# drops a ~2^-116 tail; interpret mode is bitwise — tested), and the
+# 50-iteration lag-5 solve's min-of-rounds slope was 1.0 ms vs 2.1 ms
+# full-face in the same (congested) window.
+PLANES_HALO: bool = True
 
 
 def _kernel_lagged_planes(K: int, omega: float, dx2: float, G: int,

@@ -34,11 +34,19 @@ from hnanosolver_tpu.ops.pallas_tail import (
     _pick_g,
 )
 
-# Master switch (A/B probes flip it); integration gates live in
-# ops/stencil.py. Default OFF until the on-chip probe confirms compile +
-# bitwise parity — flipped there, never here, so a Mosaic rejection can't
-# take down the round-end bench.
+# Master switches (A/B probes flip them); integration gates live in
+# ops/stencil.py and ops/pressure.py.
+#
+# STENCIL_KERNEL (divergence/subtract-gradient): compiles on-chip with
+# parity <= 9.4e-38 vs the XLA forms (probe 115), but the same-window
+# timing was inconclusive at bench size — default decided by the
+# full-step A/B (probe 117).
+# RESID_KERNEL (Poisson residual): validated on-chip (probe 114) —
+# parity 0.0 at pow2 dx / <= 2 ulp otherwise (division lowering), and
+# 0.33 ms vs 4.6 ms XLA min-of-rounds. Only multigrid and diagnostics
+# consume it; ON.
 STENCIL_KERNEL: bool = False
+RESID_KERNEL: bool = True
 
 _AXIS_DIRS = (  # (+a, -a) per axis a — the divergence/gradient order
     ((1, 0, 0), (-1, 0, 0)),

@@ -131,10 +131,11 @@ def residual(topo: Topology, p: jax.Array, div: jax.Array, dx: float) -> jax.Arr
     L(p) = (sum nbrs - 6 p) / dx^2 (the system the GS update solves)."""
     from hnanosolver_tpu.ops import pallas_stencil as pst
 
-    if pst.STENCIL_KERNEL and pst._on_tpu():
-        # fused packed-plane kernel (bit-identical, smaller transients at
-        # every size — safe even at 1024^3 where the XLA form must
-        # barrier-chain its gathers)
+    if pst.RESID_KERNEL and pst._on_tpu():
+        # fused packed-plane kernel (on-chip: bitwise at pow2 dx, <= 2 ulp
+        # otherwise — division lowering; probe 114). Transients smaller
+        # than the XLA form at every size — safe even at 1024^3 where the
+        # XLA form must barrier-chain its gathers.
         return pst.residual_fused(topo, p, div, dx)
     lap = (neighbor_sum(topo, p) - 6.0 * p) / (dx * dx)
     return div - lap

@@ -113,8 +113,12 @@ def _plane_maps(F: int):
         pcols = (np.arange(F)[:, None] * TILE + src_l[None]).reshape(-1)
         exp_idx = np.zeros(TILE, np.int64)
         exp_idx[bl] = np.arange(64)
-        maps.append((jnp.asarray(mnp), int(s_in), jnp.asarray(pcols),
-                     jnp.asarray(exp_idx)))
+        # NUMPY, not jnp: jnp.asarray of host data inside a trace yields a
+        # TRACER on this JAX version, so a map first built inside one jit
+        # poisons every later consumer (NOTES r3 fact 34's sibling). numpy
+        # constants stay constants everywhere.
+        maps.append((mnp, int(s_in), pcols.astype(np.int32),
+                     exp_idx.astype(np.int32)))
     return maps
 
 
