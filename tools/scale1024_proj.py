@@ -45,7 +45,7 @@ def main():
     from hnanosolver_tpu.ops.pressure import residual, solve_pressure
     from hnanosolver_tpu.ops.stencil import divergence, subtract_pressure_gradient
     sys.path.insert(0, "/root/repo/tools")
-    from scale1024_r4 import plume_envelope_1024
+    from envelopes import plume_envelope_1024
 
     tiles = plume_envelope_1024(RADIUS)
     n = len(np.unique(tiles, axis=0))
