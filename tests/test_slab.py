@@ -114,7 +114,12 @@ def test_sharded_step_mg_matches_single_device(rng, mesh):
     state = _demo_state(topo, rng)
     params = SolverParams(
         dt=0.2, iterations=2, voxel_size=0.5, pressure_solver="mg",
-        mg_levels=1, mg_coarsest=4,
+        mg_levels=1, mg_coarsest=4, mg_fmg=False,
+        # mg_fmg=False: FMG is single-chip only (solve_pressure_mg skips
+        # it when refresh/coarse_reduce hooks are given), so the sharded
+        # step runs plain V-cycles — this test asserts DECOMPOSITION
+        # parity, which needs both sides on the same algorithm (measured
+        # bit-identical with it pinned; 4.4e-3 apart with FMG on one side)
     )
     hier = tuple(build_hierarchy(topo, params.mg_levels))
     from hnanosolver_tpu.solver import step
