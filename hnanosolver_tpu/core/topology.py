@@ -67,6 +67,13 @@ class Topology:
     # of t + delta_j (delta_j = (j>>2, (j>>1)&1, j&1); entry 0 = null row).
     chunk_dsrc: Optional[jax.Array] = None  # [n_chunks, Ud, 8] int32 rows
     chunk_ldual: Optional[jax.Array] = None  # [T, 8] int32 chunk-local rows
+    # chunk_dloc remaps chunk_dsrc's GLOBAL source rows into positions in
+    # chunk_uniq[c] (every dual source is one of its owning tile's 27
+    # neighbors, so it is always present in the chunk's unique set). This
+    # is the on-chip combine kernel's indirection: with it, the dual table
+    # is derived from the 27-table in VMEM (pallas_bfecc.combine_dual)
+    # instead of rebuilt by a second HBM gather+permute pass.
+    chunk_dloc: Optional[jax.Array] = None  # [n_chunks, Ud, 8] int32 -> [0, U)
 
     @property
     def capacity(self) -> int:
@@ -87,7 +94,7 @@ class Topology:
         return (
             self.keys, self.origins, self.nbr, self.n_active,
             self.chunk_uniq, self.chunk_lnbr,
-            self.chunk_dsrc, self.chunk_ldual,
+            self.chunk_dsrc, self.chunk_ldual, self.chunk_dloc,
         ), ()
 
     @classmethod
@@ -219,6 +226,26 @@ def _dual_plan(origins: np.ndarray, keys_np: np.ndarray, capacity: int):
     return dsrc, ldual
 
 
+def _dual_local(uq: np.ndarray, dsrc: np.ndarray) -> np.ndarray:
+    """Remap chunk_dsrc's global source rows into chunk_uniq positions
+    (chunk_dloc — the combine kernel's VMEM-local indirection). Every dual
+    source of chunk c is one of its owning tile's 27 neighbors, hence in
+    uq[c]'s unique set; padding dual rows (all-null sources) land on the
+    null entry at position 0."""
+    nc, Ud, _ = dsrc.shape
+    dloc = np.zeros((nc, Ud, 8), np.int32)
+    for c in range(nc):
+        u = uq[c]
+        # uq rows are sorted-unique followed by zero padding; the true list
+        # is entry 0 (the null row) plus the nonzero tail.
+        cnt = 1 + int(np.count_nonzero(u))
+        pos = np.searchsorted(u[:cnt], dsrc[c])
+        if not np.array_equal(u[:cnt][np.minimum(pos, cnt - 1)], dsrc[c]):
+            raise AssertionError("dual source missing from chunk unique set")
+        dloc[c] = pos.astype(np.int32)
+    return dloc
+
+
 def build_topology(
     tile_coords: np.ndarray, capacity: Optional[int] = None
 ) -> Topology:
@@ -266,6 +293,7 @@ def build_topology(
 
     uq, ln = _chunk_plan(nbr, cap)
     dsrc, ldual = _dual_plan(origins, keys_np, cap)
+    dloc = _dual_local(uq, dsrc)
     return Topology(
         keys=jnp.asarray(full_keys),
         origins=jnp.asarray(origins),
@@ -275,6 +303,7 @@ def build_topology(
         chunk_lnbr=jnp.asarray(ln),
         chunk_dsrc=jnp.asarray(dsrc),
         chunk_ldual=jnp.asarray(ldual),
+        chunk_dloc=jnp.asarray(dloc),
     )
 
 

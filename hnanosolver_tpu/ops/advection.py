@@ -213,23 +213,37 @@ def _advect_vmem(
             # (K=576). Splitting the passes costs one extra launch and the
             # re-trace in XLA but skips ~60% of the wide kernel's MACs —
             # the full-wide kernel measured 3.3x narrow (probe r4/077).
+            # With the on-chip combine kernel, ONE 27-table of all base
+            # fields serves both passes: the back pass derives its dual
+            # table from it in VMEM and the wide forward pass reads it
+            # directly (sampling span f_lo:), so the whole dispatch does a
+            # single HBM row gather.
+            share = pb.combine_ok(topo, len(base))
+            t27 = pb.build_table(topo, base) if share else None
             backs = pb.bfecc_sample_fused(
                 topo, base, dx, dy, dz, scaled_dt, 0, None, fast,
-                win=16, minmax=False, mode="back",
+                win=16, minmax=False, mode="back", tbl27=t27,
             )[0]
             lim = pb.DISP_LIMIT
             d2x = jnp.clip(dx + backs[0] * scaled_dt, -lim, lim)
             d2y = jnp.clip(dy + backs[1] * scaled_dt, -lim, lim)
             d2z = jnp.clip(dz + backs[2] * scaled_dt, -lim, lim)
-            # the forward pass samples only the advected fields (no
-            # re-trace, so the velocity operands the "both" kernel needs
-            # are dead weight here): for the scalar pass, drop them from
-            # the 24-window table build (~3/8 of its gathered bytes)
-            fwd_fields = base if f_lo == 0 else list(fields)
-            phib = pb.bfecc_sample_fused(
-                topo, fwd_fields, d2x, d2y, d2z, scaled_dt, 0, None, fast,
-                win=24, minmax=False, mode="fwd",
-            )[0]
+            if share:
+                phib = pb.bfecc_sample_fused(
+                    topo, base, d2x, d2y, d2z, scaled_dt, f_lo, None, fast,
+                    win=24, minmax=False, mode="fwd", tbl27=t27,
+                )[0]
+            else:
+                # the forward pass samples only the advected fields (no
+                # re-trace, so the velocity operands the "both" kernel
+                # needs are dead weight here): for the scalar pass, drop
+                # them from the 24-window table build (~3/8 of its
+                # gathered bytes)
+                fwd_fields = base if f_lo == 0 else list(fields)
+                phib = pb.bfecc_sample_fused(
+                    topo, fwd_fields, d2x, d2y, d2z, scaled_dt, 0, None,
+                    fast, win=24, minmax=False, mode="fwd",
+                )[0]
             return jnp.stack(backs[f_lo:]), jnp.stack(phib)
 
         if sdf is None:

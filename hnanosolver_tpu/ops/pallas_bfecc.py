@@ -673,6 +673,116 @@ def build_table_dual(topo, fields: Sequence[jax.Array],
     return S.reshape(nc, Ud * nf, 8, 64)
 
 
+def _combine_dual_kernel(nf: int, GU: int):
+    """27-table -> dual-table combine, GU dual rows per grid step.
+
+    Each half-shifted S row S[l] = f[q*8 + l - 4] takes one octant from
+    each of its 8 source tiles (all of which sit in the chunk's 27-table
+    unique set — chunk_dloc). Assembly mirrors the megakernel's proven
+    pattern (dynamic VMEM read -> scratch store); the octant placement is
+    the same per-axis roll+select ladder as _combine_window16, but run
+    ONCE per unique dual row instead of per tile-window (the in-kernel
+    ladder's ~4x redundancy was what made the 27-mode megakernel slow —
+    NOTES r3 fact 44 lineage). Shifts: dest coord = src coord ^ 4 per
+    axis, so every stage rolls by +4 in that axis's own coordinate
+    (sublane 4 for x, lane 32 for y, lane +-4 within the z-octet)."""
+
+    def kernel(dloc_ref, tbl_ref, out_ref, tmp):
+        def asm(i, c):
+            g = i // 8
+            j = i % 8
+            tmp[g, pl.ds(j * nf, nf)] = tbl_ref[
+                0, pl.ds(dloc_ref[g, j] * nf, nf)]
+            return c
+
+        jax.lax.fori_loop(0, GU * 8, asm, 0)
+
+        xm = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2) < 4
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 64), 3)
+        ym = lane < 32  # dest y_local < 4
+        zm = lane % 8 < 4  # dest z_local < 4
+
+        def J(j):
+            return tmp[:, j * nf:(j + 1) * nf]
+
+        # dest half b per axis selects the source with that axis bit
+        # (j = bx*4 + by*2 + bz); source coord = dest ^ 4 in every axis.
+        yp = []
+        for bz in (0, 1):
+            xp0 = jnp.where(xm, pltpu.roll(J(0 * 4 + 0 * 2 + bz), 4, axis=2),
+                            pltpu.roll(J(1 * 4 + 0 * 2 + bz), 4, axis=2))
+            xp1 = jnp.where(xm, pltpu.roll(J(0 * 4 + 1 * 2 + bz), 4, axis=2),
+                            pltpu.roll(J(1 * 4 + 1 * 2 + bz), 4, axis=2))
+            yp.append(jnp.where(ym, pltpu.roll(xp0, 32, axis=3),
+                                pltpu.roll(xp1, 32, axis=3)))
+        S = jnp.where(zm, pltpu.roll(yp[0], 60, axis=3),
+                      pltpu.roll(yp[1], 4, axis=3))
+        out_ref[0] = S.reshape(GU * nf, 8, 64)
+
+    return kernel
+
+
+def build_table_dual_combine(topo, tbl27: jax.Array, nf: int,
+                             interpret=None, gu: int = 8) -> jax.Array:
+    """Dual (half-shifted) table [nc, Ud*nf, 8, 64] derived ON-CHIP from
+    the 27-table ``tbl27`` (build_table output) via chunk_dloc. Bit-exact
+    vs build_table_dual — same source rows, same lane moves — but replaces
+    the XLA octant-packed build's three HBM passes (packed permute, 8 row
+    gathers, reassembly permute; ~3.1 ms at bench size, NOTES fact 33)
+    with one VMEM roll ladder over rows the kernel already has."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    nc, Ud, _ = topo.chunk_dsrc.shape
+    Unf = tbl27.shape[1]
+    assert Ud % gu == 0, (Ud, gu)
+    NU = Ud // gu
+    dloc = topo.chunk_dloc.reshape(nc * Ud, 8)
+    # the compiler accounts the revisited whole-chunk table block on the
+    # SCOPED stack at ~2x its double-buffered size (measured: 86.5 MB
+    # demanded for a 22 MB block, probe r4/122) — budget 4x the block
+    vmem = min(
+        120 * 1024 * 1024,
+        (4 * Unf + 8 * gu * 8 * nf) * 8 * 64 * 4 + 8 * 1024 * 1024,
+    )
+    return pl.pallas_call(
+        _combine_dual_kernel(nf, gu),
+        grid=(nc, NU),
+        in_specs=[
+            pl.BlockSpec((gu, 8), lambda c, u: (c * NU + u, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Unf, 8, 64), lambda c, u: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, gu * nf, 8, 64),
+                               lambda c, u: (c, u, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nc, Ud * nf, 8, 64), tbl27.dtype),
+        scratch_shapes=[pltpu.VMEM((gu, 8 * nf, 8, 64), tbl27.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )(dloc, tbl27)
+
+
+# On-chip combine (27-table -> dual table in VMEM): True = whenever the
+# topology carries chunk_dloc and the chunk table fits VMEM, False = never
+# (XLA octant-packed build), None = auto (False until the on-chip probe
+# validates parity + speed; the probe flips this).
+COMBINE_TBL: Optional[bool] = None
+
+
+def combine_ok(topo, nf: int) -> bool:
+    """True when the on-chip dual-table combine is enabled and fits: the
+    topology carries chunk_dloc and the chunk's 27-table block (double-
+    buffered) + scratch stay under the VMEM budget."""
+    use = COMBINE_TBL
+    if use is None:
+        use = False
+    if not use or getattr(topo, "chunk_dloc", None) is None:
+        return False
+    U27 = topo.chunk_uniq.shape[1]
+    return (4 * U27 * nf + 32 * 8 * 8 * nf) * 8 * 64 * 4 <= SAFE_VMEM
+
+
 # Chunk-table residency: True = HBM table + in-kernel per-chunk DMA,
 # False = VMEM block specs (double-buffered), None = auto (HBM on real
 # TPU; interpret mode keeps the block form — it doesn't model DMA
@@ -723,6 +833,7 @@ def bfecc_sample_fused(
     minmax: bool = False,
     dual: Optional[bool] = None,
     mode: str = "both",
+    tbl27: Optional[jax.Array] = None,
 ) -> Tuple[List[jax.Array], ...]:
     """Fused BFECC sampling: returns (phiF list over fields[f_lo:],
     phiB list over fields[f_lo:]). ``fields[0:3]`` MUST be the velocity
@@ -754,7 +865,12 @@ def bfecc_sample_fused(
     and the kernel assembles 8 rows/tile instead of 27 (+ the roll ladder).
     Requires ``minmax=False`` (bounds come from the XLA clamp instead) and
     a topology with a dual plan. None = module default DUAL_TBL. Outputs
-    are bit-identical to the 27-table narrow kernel."""
+    are bit-identical to the 27-table narrow kernel.
+
+    ``tbl27``: a prebuilt build_table(topo, fields + [sdf]) result to reuse
+    (the mixed-window dispatch builds ONE 27-table and feeds both the
+    combine-kernel dual build of the back pass and the wide forward pass).
+    Ignored by the sliced at-scale path and the field-batch governor."""
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(prec, bool):
@@ -838,10 +954,17 @@ def bfecc_sample_fused(
 
     if slices <= 1:
         if use_dual:
-            tbl = build_table_dual(topo, all_fields)
+            if combine_ok(topo, nf_all):
+                if tbl27 is None:
+                    tbl27 = build_table(topo, all_fields)
+                tbl = build_table_dual_combine(topo, tbl27, nf_all,
+                                               interpret=interpret)
+            else:
+                tbl = build_table_dual(topo, all_fields)
             lnbr = topo.chunk_ldual
         else:
-            tbl = build_table(topo, all_fields)
+            tbl = tbl27 if tbl27 is not None else build_table(
+                topo, all_fields)
             lnbr = topo.chunk_lnbr
         if hbm:
             tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, 0), (0, 64)))

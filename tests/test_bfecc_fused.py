@@ -441,3 +441,58 @@ def test_bfecc_limit_blocks_bitexact(monkeypatch):
     monkeypatch.setattr(sh, "MINMAX_VIEWS_BUDGET", T * 512)  # force blocks
     blocked = adv._bfecc_limit(topo, phi0s, pf, pb_, None)
     assert jnp.array_equal(ref, blocked)
+
+
+def test_combine_kernel_table_bitexact():
+    """The on-chip 27-table -> dual-table combine (build_table_dual_combine,
+    chunk_dloc indirection + VMEM roll ladder) is BIT-identical to the XLA
+    octant-packed build on a sparse topology, for several field counts."""
+    rng = np.random.default_rng(23)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    assert topo.chunk_dloc is not None
+    for nf in (1, 3, 5):
+        fields = _rand_fields(rng, T, nf)
+        ref = pb.build_table_dual(topo, fields)
+        tbl27 = pb.build_table(topo, fields)
+        got = pb.build_table_dual_combine(topo, tbl27, nf, interpret=True)
+        assert got.shape == ref.shape
+        assert jnp.array_equal(got, ref), float(jnp.max(jnp.abs(got - ref)))
+
+
+def test_combine_kernel_sample_path_bitexact(monkeypatch):
+    """bfecc_sample_fused with COMBINE_TBL forced on produces bit-identical
+    samples to the default dual build (the table is bit-equal, so the
+    kernel's outputs must be too)."""
+    rng = np.random.default_rng(24)
+    topo = _sparse_topo(rng)
+    T = topo.capacity
+    fields = _rand_fields(rng, T, 3) + _rand_fields(rng, T, 2)
+    sdt = 0.3
+    dx = jnp.clip(-fields[0] * sdt, -1.8, 1.8)
+    dy = jnp.clip(-fields[1] * sdt, -1.8, 1.8)
+    dz = jnp.clip(-fields[2] * sdt, -1.8, 1.8)
+    ref = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True)
+    monkeypatch.setattr(pb, "COMBINE_TBL", True)
+    got = pb.bfecc_sample_fused(
+        topo, fields, dx, dy, dz, sdt, 3, None, "strict", interpret=True)
+    for a, b in zip(ref, got):
+        for x, y in zip(a, b):
+            assert jnp.array_equal(x, y)
+
+
+def test_combine_kernel_mixed_share_bitexact(monkeypatch):
+    """Mixed-window dispatch with the combine kernel on (one shared
+    27-table feeding both the back-pass dual combine and the wide forward
+    pass) matches the unshared dispatch bit-for-bit."""
+    rng = np.random.default_rng(25)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel_arr = jnp.stack(_rand_fields(rng, T, 3)) * 2.6  # mixed CFL band
+    fields = _rand_fields(rng, T, 2)
+    ref_f, ref_b, _ = adv._advect_vmem(topo, vel_arr, fields, 1.0, None)
+    monkeypatch.setattr(pb, "COMBINE_TBL", True)
+    got_f, got_b, _ = adv._advect_vmem(topo, vel_arr, fields, 1.0, None)
+    assert jnp.array_equal(ref_f, got_f)
+    assert jnp.array_equal(ref_b, got_b)
