@@ -216,10 +216,15 @@ def _advect_vmem(
             # With the on-chip combine kernel, ONE 27-table of all base
             # fields serves both passes: the back pass derives its dual
             # table from it in VMEM and the wide forward pass reads it
-            # directly (sampling span f_lo:), so the whole dispatch does a
-            # single HBM row gather.
-            share = pb.combine_ok(topo, len(base))
-            t27 = pb.build_table(topo, base) if share else None
+            # directly, so the whole dispatch does a single HBM row
+            # gather. Sharing is velocity-pass-only (f_lo == 0, where the
+            # forward span IS the table): feeding the scalar pass's wide
+            # kernel the velocity-bearing 8-field table measured SLOWER
+            # than rebuilding the lean 5-field one (probe r4/124 — the
+            # wide kernel's VMEM/table traffic scales with nf_all).
+            comb = pb.combine_ok(topo, len(base))
+            share = comb and f_lo == 0
+            t27 = pb.build_table(topo, base) if comb else None
             backs = pb.bfecc_sample_fused(
                 topo, base, dx, dy, dz, scaled_dt, 0, None, fast,
                 win=16, minmax=False, mode="back", tbl27=t27,

@@ -765,8 +765,12 @@ def build_table_dual_combine(topo, tbl27: jax.Array, nf: int,
 
 # On-chip combine (27-table -> dual table in VMEM): True = whenever the
 # topology carries chunk_dloc and the chunk table fits VMEM, False = never
-# (XLA octant-packed build), None = auto (False until the on-chip probe
-# validates parity + speed; the probe flips this).
+# (XLA octant-packed build), None = auto (= False: the kernel is BITWISE
+# exact on-chip but measured 6.4 ms vs the XLA build's 3.2 at bench size,
+# probe r4/125 — its 75k per-row dynamic VMEM reads cost ~70 ns each,
+# the same descriptor-overhead floor the HBM gather pays, and it adds a
+# whole extra table pass on top. Kept for probes and as the documented
+# negative result; NOTES r4 fact 50).
 COMBINE_TBL: Optional[bool] = None
 
 

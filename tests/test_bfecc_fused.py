@@ -496,3 +496,17 @@ def test_combine_kernel_mixed_share_bitexact(monkeypatch):
     got_f, got_b, _ = adv._advect_vmem(topo, vel_arr, fields, 1.0, None)
     assert jnp.array_equal(ref_f, got_f)
     assert jnp.array_equal(ref_b, got_b)
+
+
+def test_combine_kernel_velocity_share_bitexact(monkeypatch):
+    """Velocity self-advection in the mixed band with the combine kernel
+    on (shared 27-table feeds the dual combine AND the wide forward pass,
+    f_lo == 0) matches the default path bit-for-bit."""
+    rng = np.random.default_rng(26)
+    topo = build_topology_dense((16, 16, 16))
+    T = topo.capacity
+    vel_arr = jnp.stack(_rand_fields(rng, T, 3)) * 2.6
+    ref = adv.advect_velocity(topo, vel_arr, 1.0, 1.0)
+    monkeypatch.setattr(pb, "COMBINE_TBL", True)
+    got = adv.advect_velocity(topo, vel_arr, 1.0, 1.0)
+    assert jnp.array_equal(ref, got)
