@@ -68,6 +68,14 @@ def _default_interp(topo: Optional[Topology] = None) -> str:
     return "vmem"
 DISP_LIMIT = 7.0 - 1e-3  # max |displacement| per axis per trace (voxels)
 
+# Mixed-band forward dispatch: when the re-traced displacements all fit
+# the 16-window (max|d2| < CFL_MID at runtime), sample the forward pass
+# from the back pass's dual table instead of the wide 24-window kernel
+# (probe r4/126: the wide kernel is ~13 ms of the mixed scalar pass's
+# ~21 at bench size). True/None = on; False = always the wide kernel
+# (A/B probes only).
+FWD_NARROW = None
+
 
 def _clamp(d):
     return jnp.clip(d, -DISP_LIMIT, DISP_LIMIT)
@@ -225,31 +233,63 @@ def _advect_vmem(
             comb = pb.combine_ok(topo, len(base))
             share = comb and f_lo == 0
             t27 = pb.build_table(topo, base) if comb else None
+            # ONE dual table serves the back pass AND (when the re-traced
+            # positions stay narrow — the common case) the forward pass.
+            if comb:
+                tdual = pb.build_table_dual_combine(topo, t27, len(base))
+            else:
+                tdual = pb.build_table_dual(topo, base)
             backs = pb.bfecc_sample_fused(
                 topo, base, dx, dy, dz, scaled_dt, 0, None, fast,
-                win=16, minmax=False, mode="back", tbl27=t27,
+                win=16, minmax=False, mode="back", tbl_dual=tdual,
             )[0]
             lim = pb.DISP_LIMIT
             d2x = jnp.clip(dx + backs[0] * scaled_dt, -lim, lim)
             d2y = jnp.clip(dy + backs[1] * scaled_dt, -lim, lim)
             d2z = jnp.clip(dz + backs[2] * scaled_dt, -lim, lim)
-            if share:
-                phib = pb.bfecc_sample_fused(
+
+            # The re-trace displacement d2 = d + u(back)*sdt is BFECC's
+            # error-compensation term — for smooth flows it is O(CFL^2 *
+            # grad u), far smaller than the CFL bound that forced the wide
+            # window. Dispatch the forward pass on max|d2| AT RUNTIME:
+            # when every re-traced position still fits the 16-window
+            # (|d2| < CFL_MID, the same validity bound the back pass
+            # uses), sample from the SAME dual table the back pass built —
+            # the wide kernel (probe r4/126: ~13 ms of the mixed scalar
+            # pass's ~21, G capped at 8 by its 5x W-operand stack) and its
+            # separate 27-table build are skipped entirely.
+            d2cfl = jnp.maximum(jnp.maximum(_amax(d2x), _amax(d2y)),
+                                _amax(d2z))
+
+            def fwd_narrow(_):
+                return jnp.stack(pb.bfecc_sample_fused(
                     topo, base, d2x, d2y, d2z, scaled_dt, f_lo, None, fast,
-                    win=24, minmax=False, mode="fwd", tbl27=t27,
-                )[0]
-            else:
+                    win=16, minmax=False, mode="fwd", tbl_dual=tdual,
+                )[0])
+
+            def fwd_wide(_):
+                if share:
+                    return jnp.stack(pb.bfecc_sample_fused(
+                        topo, base, d2x, d2y, d2z, scaled_dt, f_lo, None,
+                        fast, win=24, minmax=False, mode="fwd", tbl27=t27,
+                    )[0])
                 # the forward pass samples only the advected fields (no
                 # re-trace, so the velocity operands the "both" kernel
                 # needs are dead weight here): for the scalar pass, drop
                 # them from the 24-window table build (~3/8 of its
                 # gathered bytes)
                 fwd_fields = base if f_lo == 0 else list(fields)
-                phib = pb.bfecc_sample_fused(
+                return jnp.stack(pb.bfecc_sample_fused(
                     topo, fwd_fields, d2x, d2y, d2z, scaled_dt, 0, None,
                     fast, win=24, minmax=False, mode="fwd",
-                )[0]
-            return jnp.stack(backs[f_lo:]), jnp.stack(phib)
+                )[0])
+
+            if FWD_NARROW is False:
+                phib = fwd_wide(0)
+            else:
+                phib = jax.lax.cond(d2cfl < pb.CFL_MID, fwd_narrow,
+                                    fwd_wide, 0)
+            return jnp.stack(backs[f_lo:]), phib
 
         if sdf is None:
             pf, pbk = jax.lax.cond(

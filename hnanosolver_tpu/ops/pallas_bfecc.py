@@ -838,6 +838,7 @@ def bfecc_sample_fused(
     dual: Optional[bool] = None,
     mode: str = "both",
     tbl27: Optional[jax.Array] = None,
+    tbl_dual: Optional[jax.Array] = None,
 ) -> Tuple[List[jax.Array], ...]:
     """Fused BFECC sampling: returns (phiF list over fields[f_lo:],
     phiB list over fields[f_lo:]). ``fields[0:3]`` MUST be the velocity
@@ -874,7 +875,11 @@ def bfecc_sample_fused(
     ``tbl27``: a prebuilt build_table(topo, fields + [sdf]) result to reuse
     (the mixed-window dispatch builds ONE 27-table and feeds both the
     combine-kernel dual build of the back pass and the wide forward pass).
-    Ignored by the sliced at-scale path and the field-batch governor."""
+    Ignored by the sliced at-scale path and the field-batch governor.
+
+    ``tbl_dual``: a prebuilt build_table_dual(topo, fields + [sdf]) result
+    to reuse (the mixed dispatch's back pass and its narrow re-traced
+    forward pass read the SAME dual table). Same caveats as ``tbl27``."""
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(prec, bool):
@@ -958,7 +963,9 @@ def bfecc_sample_fused(
 
     if slices <= 1:
         if use_dual:
-            if combine_ok(topo, nf_all):
+            if tbl_dual is not None:
+                tbl = tbl_dual
+            elif combine_ok(topo, nf_all):
                 if tbl27 is None:
                     tbl27 = build_table(topo, all_fields)
                 tbl = build_table_dual_combine(topo, tbl27, nf_all,

@@ -510,3 +510,44 @@ def test_combine_kernel_velocity_share_bitexact(monkeypatch):
     monkeypatch.setattr(pb, "COMBINE_TBL", True)
     got = adv.advect_velocity(topo, vel_arr, 1.0, 1.0)
     assert jnp.array_equal(ref, got)
+
+
+def test_mixed_fwd_narrow_matches_wide():
+    """Uniform mixed-band flow: CFL 2.6 puts the dispatch in the mixed
+    branch, and the re-traced displacements stay narrow (|d2| <= CFL),
+    so the forward pass runs the win16 dual kernel off the back pass's
+    table. Must match the multi-pass wide reference."""
+    rng = np.random.default_rng(27)
+    topo = build_topology_dense((24, 24, 24))
+    T = topo.capacity
+    vel_arr = jnp.stack([
+        jnp.full((T, 512), 2.6, jnp.float32),
+        jnp.full((T, 512), -2.2, jnp.float32),
+        jnp.full((T, 512), 2.4, jnp.float32),
+    ])
+    fields = _rand_fields(rng, T, 2)
+    pf_m, pb_m, _ = adv._advect_vmem(topo, vel_arr, fields, 1.0, None)
+    pf_w, pb_w, _ = adv._advect_vmem_wide(topo, vel_arr, fields, 1.0, None)
+    assert float(jnp.max(jnp.abs(pf_m - pf_w))) < ATOL
+    assert float(jnp.max(jnp.abs(pb_m - pb_w))) < ATOL
+
+
+def test_mixed_fwd_narrow_velocity_matches_wide():
+    """Same dispatch check for velocity self-advection (f_lo=0): uniform
+    mixed-band flow -> back win16 + narrow re-traced forward win16.
+    advect_velocity (the mixed dispatch) vs the multi-pass wide sampler
+    through the same limiter."""
+    topo = build_topology_dense((24, 24, 24))
+    T = topo.capacity
+    vel_arr = jnp.stack([
+        jnp.full((T, 512), -2.5, jnp.float32),
+        jnp.full((T, 512), 2.1, jnp.float32),
+        jnp.full((T, 512), -2.3, jnp.float32),
+    ])
+    comps = [vel_arr[0], vel_arr[1], vel_arr[2]]
+    pf_m, pb_m, _ = adv._advect_vmem(
+        topo, vel_arr, comps, 1.0, None, fields_are_velocity=True)
+    pf_w, pb_w, _ = adv._advect_vmem_wide(
+        topo, vel_arr, comps, 1.0, None, fields_are_velocity=True)
+    assert float(jnp.max(jnp.abs(pf_m - pf_w))) < ATOL
+    assert float(jnp.max(jnp.abs(pb_m - pb_w))) < ATOL
