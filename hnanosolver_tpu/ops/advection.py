@@ -232,13 +232,24 @@ def _advect_vmem(
             # wide kernel's VMEM/table traffic scales with nf_all).
             comb = pb.combine_ok(topo, len(base))
             share = comb and f_lo == 0
+            # At-scale calls run in chunk SLICES (only a fraction of the
+            # table live at once) — a whole-domain prebuilt table would
+            # hold full-size bytes the sliced call ignores, so table
+            # sharing and the narrow forward dispatch are bench-class
+            # (unsliced) features; sliced domains keep the wide forward.
+            nc_d, Ud_d = topo.chunk_dsrc.shape[:2]
+            unsliced = pb._pick_slices(nc_d, Ud_d, len(base)) <= 1
+            comb = comb and unsliced
+            share = share and unsliced
             t27 = pb.build_table(topo, base) if comb else None
             # ONE dual table serves the back pass AND (when the re-traced
             # positions stay narrow — the common case) the forward pass.
-            if comb:
-                tdual = pb.build_table_dual_combine(topo, t27, len(base))
-            else:
-                tdual = pb.build_table_dual(topo, base)
+            tdual = None
+            if unsliced:
+                if comb:
+                    tdual = pb.build_table_dual_combine(topo, t27, len(base))
+                else:
+                    tdual = pb.build_table_dual(topo, base)
             backs = pb.bfecc_sample_fused(
                 topo, base, dx, dy, dz, scaled_dt, 0, None, fast,
                 win=16, minmax=False, mode="back", tbl_dual=tdual,
@@ -284,7 +295,7 @@ def _advect_vmem(
                     fast, win=24, minmax=False, mode="fwd",
                 )[0])
 
-            if FWD_NARROW is False:
+            if FWD_NARROW is False or not unsliced:
                 phib = fwd_wide(0)
             else:
                 phib = jax.lax.cond(d2cfl < pb.CFL_MID, fwd_narrow,
