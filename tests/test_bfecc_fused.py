@@ -551,3 +551,24 @@ def test_mixed_fwd_narrow_velocity_matches_wide():
         topo, vel_arr, comps, 1.0, None, fields_are_velocity=True)
     assert float(jnp.max(jnp.abs(pf_m - pf_w))) < ATOL
     assert float(jnp.max(jnp.abs(pb_m - pb_w))) < ATOL
+
+
+def test_mixed_sliced_guard_matches_wide(monkeypatch):
+    """When the table-memory governor slices the call (at-scale config),
+    the mixed dispatch must skip table prebuilds/narrow-forward and still
+    match the wide reference."""
+    monkeypatch.setattr(pb, "TABLE_BYTES_BUDGET", 64 * 1024)  # force slices
+    rng = np.random.default_rng(28)
+    topo = build_topology_dense((24, 24, 24))
+    T = topo.capacity
+    vel_arr = jnp.stack([
+        jnp.full((T, 512), 2.6, jnp.float32),
+        jnp.full((T, 512), -2.2, jnp.float32),
+        jnp.full((T, 512), 2.4, jnp.float32),
+    ])
+    fields = _rand_fields(rng, T, 2)
+    pf_m, pb_m, _ = adv._advect_vmem(topo, vel_arr, fields, 1.0, None)
+    monkeypatch.setattr(pb, "TABLE_BYTES_BUDGET", 2 * 1024**3)
+    pf_w, pb_w, _ = adv._advect_vmem_wide(topo, vel_arr, fields, 1.0, None)
+    assert float(jnp.max(jnp.abs(pf_m - pf_w))) < ATOL
+    assert float(jnp.max(jnp.abs(pb_m - pb_w))) < ATOL
