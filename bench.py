@@ -36,18 +36,22 @@ ROUNDS = 8  # minimum measurement rounds; report the best (tunnel jitter
 # observed single-round wobble is up to 3x on quiet-vs-congested windows,
 # and whole multi-minute windows can be congested — more rounds beat more
 # repeats per round)
-MAX_ROUNDS = 28  # keep sampling extra rounds while the whole run has only
+MAX_ROUNDS = 24  # keep sampling extra rounds while the whole run has only
 # seen congested windows (r3: one run caught 8/8 rounds at ~3x — the chip
 # is time-shared, so only WAITING for a quieter window recovers the truth)
-ROUND_GAP_S = 20.0  # pause between rounds so the rounds SPAN congestion
+ROUND_GAP_S = 15.0  # pause between rounds so the rounds SPAN congestion
 # windows (they change on the minutes scale) instead of sampling one window
-LATE_GAP_S = 120.0  # wider spacing for the extra rounds: sample FARTHER
+LATE_GAP_S = 45.0  # wider spacing for the extra rounds: sample FARTHER
 # windows instead of resampling the same congested one
-WALL_BUDGET_S = 2000.0  # hard cap on total measurement wall-clock (raised
-# from 1100 s in r4: whole half-hours of the tunneled chip run congested —
-# NOTES r3 fact 25/35 — so the budget must SPAN more than one such window;
-# a 40-min run has been survived before — probe r3/049 — and a killed bench
-# records NOTHING, so stay clearly under that observed ceiling).
+# Hard deadline measured from PROCESS START (import time), not measurement
+# start: compile/develop time counts against the driver's external timeout
+# too. Round 4's 2000 s budget (checked only between rounds, after sleeps
+# that alone could reach ~2500 s) demonstrably exceeded the driver limit —
+# BENCH_r04.json is rc=124 with parsed=null. 850 s keeps the whole run,
+# including multi-minute tunnel compiles, clearly inside the observed
+# ceiling (r3's successful run was ~1100-1200 s total).
+_T0 = time.perf_counter()
+DEADLINE_S = 850.0
 
 # Congestion-detector reference: the best QUIET per-step time this binary
 # has ever recorded, persisted as an artifact (QUIET_REF.json) and updated
@@ -60,9 +64,10 @@ WALL_BUDGET_S = 2000.0  # hard cap on total measurement wall-clock (raised
 # then REPORTS the slow number). The reference is per-domain: a fallback
 # run on a smaller envelope neither uses nor updates it.
 QUIET_REF_PATH = None  # default: QUIET_REF.json next to this file
-QUIET_STEP_FALLBACK_S = 0.015  # used when no artifact exists (late-r3
-# component sums: octant-packed dual tables + mixed-window dispatch +
-# 32-tile pressure programs put the quiet step near ~14-16 ms)
+QUIET_STEP_FALLBACK_S = 0.02522  # used when no artifact exists: the best
+# DRIVER-RECORDED step (BENCH_r03.json, 25.22 ms) — never component sums
+# (VERDICT r4 weak 2: a hope-derived reference forces infinite resampling
+# of honest measurements and burned r4's run into the driver timeout)
 
 
 def _quiet_ref_path(path=None):
@@ -144,12 +149,18 @@ def _make_chain(jax, topo, params, cfg):
 
 
 def _measure(jax, chain, state, chain_len=CHAIN, repeats=4,
-             quiet_ref_s=QUIET_STEP_FALLBACK_S):
+             quiet_ref_s=QUIET_STEP_FALLBACK_S, emit=None):
     """Slope between a 2-step and a ``chain_len``-step device program, each
     min-of-``repeats``, best of ROUNDS full rounds — the only estimator
     that survived the tunnel's +-0.5-1 s per-call jitter (single-call diffs
     mismeasured by up to 10x in BOTH directions during round-1 tuning, and
-    single rounds still wobbled ~1.5x in round 2)."""
+    single rounds still wobbled ~1.5x in round 2).
+
+    ``emit(slope_s, samples)`` is called after EVERY round with the
+    best-so-far estimate so the caller can print an updated JSON result
+    line each time — a driver timeout then loses later rounds, never the
+    number (VERDICT r4 weak 1: the round-4 bench was killed and recorded
+    NOTHING because the single JSON line was only printed at the end)."""
     import jax.numpy as jnp
 
     def pull(tree):
@@ -169,17 +180,24 @@ def _measure(jax, chain, state, chain_len=CHAIN, repeats=4,
             b = min(b, time.perf_counter() - t0)
         return b
 
+    def left():
+        return DEADLINE_S - (time.perf_counter() - _T0)
+
     samples = []
-    t_start = time.perf_counter()
     r = 0
     while True:
         if r:
-            time.sleep(ROUND_GAP_S if r < ROUNDS else LATE_GAP_S)
+            gap = ROUND_GAP_S if r < ROUNDS else LATE_GAP_S
+            if left() < gap + 30.0:  # a round costs ~15-25 s quiet
+                break
+            time.sleep(gap)
         pull(chain(state, k_lo))  # throwaway: the first call after an idle
         # gap pays tunnel cold-start
         samples.append((best(k_lo), best(k_hi)))
         r += 1
-        if r < ROUNDS:
+        if emit is not None:
+            emit(slope_estimate(samples, 2, chain_len), samples)
+        if r < ROUNDS and left() > 60.0:
             continue
         # congestion heuristic: keep sampling while the best slope so far
         # is far above the recorded quiet best (QUIET_REF.json) — only a
@@ -187,9 +205,7 @@ def _measure(jax, chain, state, chain_len=CHAIN, repeats=4,
         quiet_seen = (
             slope_estimate(samples, 2, chain_len) < 1.3 * quiet_ref_s
         )
-        if quiet_seen or r >= MAX_ROUNDS:
-            break
-        if time.perf_counter() - t_start > WALL_BUDGET_S - LATE_GAP_S - 30.0:
+        if quiet_seen or r >= MAX_ROUNDS or left() < LATE_GAP_S + 60.0:
             break
     return slope_estimate(samples, 2, chain_len), samples
 
@@ -232,6 +248,36 @@ def main():
     params = SolverParams(dt=1.0 / 24.0, iterations=ITERATIONS, voxel_size=0.5)
     cfg = PlumeConfig(center=(128.0, 24.0, 128.0), radius=20.0)
 
+    bpv = full_step_bytes_per_voxel(ITERATIONS)
+    baseline_vups = RTX_CLASS_GBPS * 1e9 / bpv
+
+    def result_line(t, samples, topo, domain, quiet_ref):
+        voxels = topo.num_voxels
+        vups = voxels / t
+        return json.dumps({
+            "metric": "active_voxel_updates_per_sec_full_step_256plume",
+            "value": round(vups, 1),
+            "unit": "voxel_updates/s/chip",
+            "vs_baseline": round(vups / baseline_vups, 4),
+            # self-description: the domain actually measured + raw
+            # per-round chain timings (lo, hi) in seconds, so a
+            # fallback-domain or congested run is identifiable from the
+            # artifact alone (VERDICT r2 weakness 6)
+            "domain_radius_height_vox": list(domain),
+            "active_tiles": int(topo.n_active),
+            "active_voxels": int(voxels),
+            "capacity_tiles": int(topo.capacity),
+            "step_ms": round(t * 1e3, 2),
+            # the recorded quiet best this run was judged against; a
+            # step far above it means every sampled window was
+            # congested (or the binary regressed — both warrant a look)
+            "quiet_ref_ms": round(quiet_ref * 1e3, 2),
+            "congested": bool(t > 1.3 * quiet_ref),
+            "pressure_iterations": ITERATIONS,
+            "round_samples_s": [[round(a, 3), round(b, 3)]
+                                for a, b in samples],
+        })
+
     # retry ladder: full 256^3-class envelope, then smaller if the tunneled
     # worker misbehaves (crash / OOM) — always emit a JSON line carrying the
     # domain actually measured (a fallback run is self-describing).
@@ -256,8 +302,18 @@ def main():
             state = chain(state, jnp.asarray(2))
             jax.block_until_ready(state.velocity)
             domain = (radius, height)
+            quiet_ref = load_quiet_ref(domain)
+
+            # per-round emission: the LAST stdout JSON line always carries
+            # the best estimate so far — a driver kill mid-run records the
+            # rounds already sampled instead of nothing (VERDICT r4 weak 1)
+            def emit(t_now, samples_now):
+                print(result_line(t_now, samples_now, topo, domain,
+                                  quiet_ref))
+                sys.stdout.flush()
+
             t, samples = _measure(
-                jax, chain, state, quiet_ref_s=load_quiet_ref(domain))
+                jax, chain, state, quiet_ref_s=quiet_ref, emit=emit)
             break
         except Exception as e:  # noqa: BLE001
             print(f"# bench config ({radius},{height}) failed: {e}", file=sys.stderr)
@@ -269,15 +325,12 @@ def main():
         }))
         return
 
-    quiet_ref = load_quiet_ref(domain)
     if update_quiet_ref(t, domain, note="recorded by bench.py"):
         print(f"# new quiet best {t * 1e3:.2f} ms recorded in "
               "QUIET_REF.json", file=sys.stderr)
 
     voxels = topo.num_voxels
     vups = voxels / t
-    bpv = full_step_bytes_per_voxel(ITERATIONS)
-    baseline_vups = RTX_CLASS_GBPS * 1e9 / bpv
     print(
         f"# device={jax.devices()[0]} active_tiles={int(topo.n_active)} "
         f"active_voxels={voxels} step={t * 1e3:.2f} ms "
@@ -285,33 +338,8 @@ def main():
         f"(reference byte model, {bpv} B/voxel, {ITERATIONS} pressure iters)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "active_voxel_updates_per_sec_full_step_256plume",
-                "value": round(vups, 1),
-                "unit": "voxel_updates/s/chip",
-                "vs_baseline": round(vups / baseline_vups, 4),
-                # self-description: the domain actually measured + raw
-                # per-round chain timings (lo, hi) in seconds, so a
-                # fallback-domain or congested run is identifiable from the
-                # artifact alone (VERDICT r2 weakness 6)
-                "domain_radius_height_vox": list(domain),
-                "active_tiles": int(topo.n_active),
-                "active_voxels": int(voxels),
-                "capacity_tiles": int(topo.capacity),
-                "step_ms": round(t * 1e3, 2),
-                # the recorded quiet best this run was judged against; a
-                # step far above it means every sampled window was
-                # congested (or the binary regressed — both warrant a look)
-                "quiet_ref_ms": round(quiet_ref * 1e3, 2),
-                "congested": bool(t > 1.3 * quiet_ref),
-                "pressure_iterations": ITERATIONS,
-                "round_samples_s": [[round(a, 3), round(b, 3)]
-                                    for a, b in samples],
-            }
-        )
-    )
+    print(result_line(t, samples, topo, domain, load_quiet_ref(domain)))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -75,7 +75,9 @@ class SolverParams:
     # Full-multigrid (nested-iteration) initial guess before the V-cycles —
     # ~one coarse-side cycle of extra cost replacing 1-2 fine cycles on the
     # global mode (measured 6x residual at equal cost on the tile sphere).
-    # Single-chip only; the sharded step ignores it.
+    # Works sharded too: the RHS restriction psums into the replicated
+    # coarse levels and the fine-level FMG V-cycle threads the ghost
+    # refresh (ops/multigrid.fmg_initial_guess).
     mg_fmg: bool = True
     combustion: CombustionParams = dataclasses.field(default_factory=CombustionParams)
     has_collision: bool = False

@@ -293,8 +293,7 @@ def build_topology(
 
     uq, ln = _chunk_plan(nbr, cap)
     dsrc, ldual = _dual_plan(origins, keys_np, cap)
-    dloc = _dual_local(uq, dsrc)
-    return Topology(
+    topo = Topology(
         keys=jnp.asarray(full_keys),
         origins=jnp.asarray(origins),
         nbr=jnp.asarray(nbr),
@@ -303,8 +302,35 @@ def build_topology(
         chunk_lnbr=jnp.asarray(ln),
         chunk_dsrc=jnp.asarray(dsrc),
         chunk_ldual=jnp.asarray(ldual),
-        chunk_dloc=jnp.asarray(dloc),
     )
+    # chunk_dloc feeds ONLY the on-chip combine kernel, which is off by
+    # default (pallas_bfecc.COMBINE_TBL=None -> False, a measured negative
+    # result) — building it unconditionally made every topology build,
+    # including at-scale rebuilds, pay a host loop over all chunks plus an
+    # [nc, Ud, 8] HBM array nothing reads (r4 ADVICE). Opt in per build via
+    # the flag, or per topology via ensure_dual_local().
+    if BUILD_DLOC:
+        topo = ensure_dual_local(topo)
+    return topo
+
+
+# Build chunk_dloc (the combine kernel's indirection) during every
+# build_topology. Default off — see the comment at the call site.
+BUILD_DLOC = False
+
+
+def ensure_dual_local(topo: Topology) -> Topology:
+    """Return ``topo`` carrying chunk_dloc, computing it on demand (host
+    side). The combine-kernel probes and tests use this instead of paying
+    the build cost on every topology."""
+    if topo.chunk_dloc is not None:
+        return topo
+    if topo.chunk_uniq is None or topo.chunk_dsrc is None:
+        raise ValueError("ensure_dual_local needs a chunk-planned topology")
+    dloc = _dual_local(
+        np.asarray(topo.chunk_uniq), np.asarray(topo.chunk_dsrc)
+    )
+    return dataclasses.replace(topo, chunk_dloc=jnp.asarray(dloc))
 
 
 def build_topology_dense(shape, origin=(0, 0, 0), capacity=None) -> Topology:

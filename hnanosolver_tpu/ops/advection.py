@@ -237,8 +237,19 @@ def _advect_vmem(
             # hold full-size bytes the sliced call ignores, so table
             # sharing and the narrow forward dispatch are bench-class
             # (unsliced) features; sliced domains keep the wide forward.
+            # The gate covers BOTH table plans (r4 ADVICE): the dual plan
+            # this dispatch prebuilds AND the 27-table plan the wide
+            # forward kernel slices on internally (U27 > Ud, different
+            # field count) — near the budget edge the dual gate alone
+            # could prebuild a whole-domain t27 that the wide call then
+            # ignores, holding full-size bytes live at scale.
             nc_d, Ud_d = topo.chunk_dsrc.shape[:2]
-            unsliced = pb._pick_slices(nc_d, Ud_d, len(base)) <= 1
+            nc27, U27 = topo.chunk_uniq.shape
+            nf_wide = len(base) if f_lo == 0 else len(base) - 3
+            unsliced = (
+                pb._pick_slices(nc_d, Ud_d, len(base)) <= 1
+                and pb._pick_slices(nc27, U27, max(nf_wide, 1)) <= 1
+            )
             comb = comb and unsliced
             share = share and unsliced
             t27 = pb.build_table(topo, base) if comb else None

@@ -402,19 +402,33 @@ def fmg_initial_guess(
     n_coarsest: int = 24,
     prolongation: str = "trilinear",
     smooth_lag: bool | str = "pair",
+    refresh=None,
+    coarse_reduce=None,
 ) -> jax.Array:
     """Full-multigrid (nested-iteration) initial guess: restrict the RHS to
     every level, solve the coarsest, then per level prolong the SOLUTION up
     and refine with one V-cycle at that level. Costs ~one extra coarse-side
     V-cycle (fine-level work: one V-cycle's worth at most) and replaces the
     first 1-2 fine V-cycles a zero guess would need on the global mode —
-    the standard FMG recipe. Single-chip only (coarse levels are cheap and
-    the sharded path replicates them; the fine level's FMG V-cycle would
-    need refresh threading — callers with refresh use plain cycles)."""
+    the standard FMG recipe.
+
+    Sharded (``refresh``/``coarse_reduce`` from parallel/slab.py): only the
+    FINE level is sharded — the level-0→1 restriction of the RHS goes
+    through ``coarse_reduce`` (a psum combining each device's owned-rows
+    partial, exactly as in ``v_cycle``), every level ≥ 1 runs replicated
+    (identical deterministic compute on all devices, no exchange), and the
+    final level-0 V-cycle threads ``refresh`` through its smoothers. The
+    prolongation back to level 0 needs no refresh: each device's parent/
+    octant maps cover its ghost rows too, and the source correction is
+    replicated."""
     divs = [div]
-    for lvl in hierarchy:
-        divs.append(restrict(lvl, divs[-1]) * lvl.mask)
-    # coarsest solve
+    for i, lvl in enumerate(hierarchy):
+        r = restrict(lvl, divs[-1])
+        if i == 0 and coarse_reduce is not None:
+            r = coarse_reduce(r)
+        divs.append(r * lvl.mask)
+    # coarsest solve (replicated when sharded: level >= 1 by construction —
+    # fmg callers require a non-empty hierarchy)
     last = hierarchy[-1]
     p = prs.solve_pressure(
         last.topo, divs[-1], n_coarsest, dx * (2.0 ** len(hierarchy)),
@@ -434,6 +448,8 @@ def fmg_initial_guess(
             t_k, hierarchy[k:], divs[k], p, dx * (2.0 ** k), omega,
             n_pre, n_post, n_coarsest, prolongation, m_k,
             smooth_lag=smooth_lag,
+            refresh=refresh if k == 0 else None,
+            coarse_reduce=coarse_reduce if k == 0 else None,
         )
     return p
 
@@ -449,24 +465,30 @@ def solve_pressure_mg(
     refresh=None,
     coarse_reduce=None,
     fmg: bool = False,
+    tol_reduce=None,
     **kw,
 ) -> jax.Array:
     """``cycles`` V-cycles from a zero initial guess (or an FMG nested-
-    iteration guess with ``fmg=True``; single-chip only — ignored when a
-    refresh/coarse_reduce hook is given).
+    iteration guess with ``fmg=True`` — sharded callers included, see
+    ``fmg_initial_guess``).
 
     With ``tol`` set, cycles stop early once ``max|r|/max|div| <= tol``
     (``cycles`` becomes the cap) — solve-to-residual rather than
-    solve-by-count, the criterion SURVEY §7.4 prescribes for parity."""
+    solve-by-count, the criterion SURVEY §7.4 prescribes for parity.
+    ``tol_reduce(arr) -> scalar`` maps a residual field to its global max;
+    the default is a plain ``max|.|``, and the sharded step passes an
+    owned-rows-masked ``pmax`` over the mesh axis so every device sees the
+    same stopping decision (SURVEY §5.7's psum-reduction recipe)."""
     kw["refresh"] = refresh
     kw["coarse_reduce"] = coarse_reduce
-    if fmg and hierarchy and refresh is None and coarse_reduce is None:
+    if fmg and hierarchy:
         p = fmg_initial_guess(
             topo, hierarchy, div, dx, omega,
             n_pre=kw.get("n_pre", 2), n_post=kw.get("n_post", 2),
             n_coarsest=kw.get("n_coarsest", 24),
             prolongation=kw.get("prolongation", "trilinear"),
             smooth_lag=kw.get("smooth_lag", "pair"),
+            refresh=refresh, coarse_reduce=coarse_reduce,
         )
     else:
         p = jnp.zeros_like(div)
@@ -475,17 +497,28 @@ def solve_pressure_mg(
             p = v_cycle(topo, hierarchy, div, p, dx, omega, **kw)
         return p
 
-    scale = jnp.maximum(jnp.max(jnp.abs(div)), 1e-30)
+    if tol_reduce is None:
+        tol_reduce = lambda a: jnp.max(jnp.abs(a))  # noqa: E731
+    scale = jnp.maximum(tol_reduce(div), 1e-30)
 
+    def rmax_of(p):
+        # a V-cycle's output ghosts are one half-sweep stale — refresh
+        # before the residual so owned rows at slab boundaries are exact
+        pr = refresh(p) if refresh is not None else p
+        return tol_reduce(prs.residual(topo, pr, div, dx))
+
+    # the residual is computed in the BODY and carried, so the while cond
+    # is collective-free — XLA requires a replicated cond computation, and
+    # a carried pmax'd scalar is identical on every device by construction
     def cond(carry):
-        i, p = carry
-        if refresh is not None:
-            p = refresh(p)
-        r = jnp.max(jnp.abs(prs.residual(topo, p, div, dx)))
-        return (i < cycles) & (r > tol * scale)
+        i, p, rmax = carry
+        return (i < cycles) & (rmax > tol * scale)
 
     def body(carry):
-        i, p = carry
-        return i + 1, v_cycle(topo, hierarchy, div, p, dx, omega, **kw)
+        i, p, _ = carry
+        p = v_cycle(topo, hierarchy, div, p, dx, omega, **kw)
+        return i + 1, p, rmax_of(p)
 
-    return jax.lax.while_loop(cond, body, (jnp.asarray(0), p))[1]
+    return jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), p, rmax_of(p))
+    )[1]

@@ -737,13 +737,7 @@ def build_table_dual_combine(topo, tbl27: jax.Array, nf: int,
     assert Ud % gu == 0, (Ud, gu)
     NU = Ud // gu
     dloc = topo.chunk_dloc.reshape(nc * Ud, 8)
-    # the compiler accounts the revisited whole-chunk table block on the
-    # SCOPED stack at ~2x its double-buffered size (measured: 86.5 MB
-    # demanded for a 22 MB block, probe r4/122) — budget 4x the block
-    vmem = min(
-        120 * 1024 * 1024,
-        (4 * Unf + 8 * gu * 8 * nf) * 8 * 64 * 4 + 8 * 1024 * 1024,
-    )
+    vmem = min(120 * 1024 * 1024, _combine_vmem_need(Unf // nf, nf, gu))
     return pl.pallas_call(
         _combine_dual_kernel(nf, gu),
         grid=(nc, NU),
@@ -774,17 +768,32 @@ def build_table_dual_combine(topo, tbl27: jax.Array, nf: int,
 COMBINE_TBL: Optional[bool] = None
 
 
+COMBINE_GU = 8  # dual rows per combine-kernel grid step (gu default)
+
+
+def _combine_vmem_need(U27: int, nf: int, gu: int = COMBINE_GU) -> int:
+    """Scoped-VMEM bytes the combine kernel requests: the whole-chunk
+    27-table block accounted at ~4x (the compiler stacks the revisited
+    block at ~2x its double-buffered size — 86.5 MB demanded for a 22 MB
+    block, probe r4/122) + the [gu, 8*nf, 8, 64] scratch, + 8 MB headroom
+    for the out block. ONE formula shared by build_table_dual_combine's
+    compiler request and combine_ok's fit check (r4 ADVICE: two separate
+    formulas had drifted — combine_ok assumed gu=32)."""
+    return (4 * U27 * nf + 8 * gu * 8 * nf) * 8 * 64 * 4 + 8 * 1024 * 1024
+
+
 def combine_ok(topo, nf: int) -> bool:
     """True when the on-chip dual-table combine is enabled and fits: the
-    topology carries chunk_dloc and the chunk's 27-table block (double-
-    buffered) + scratch stay under the VMEM budget."""
+    topology carries chunk_dloc and the kernel's scoped-VMEM request
+    (same _combine_vmem_need formula it will actually submit) stays under
+    the budget."""
     use = COMBINE_TBL
     if use is None:
         use = False
     if not use or getattr(topo, "chunk_dloc", None) is None:
         return False
     U27 = topo.chunk_uniq.shape[1]
-    return (4 * U27 * nf + 32 * 8 * 8 * nf) * 8 * 64 * 4 <= SAFE_VMEM
+    return _combine_vmem_need(U27, nf) <= min(SAFE_VMEM, 120 * 1024 * 1024)
 
 
 # Chunk-table residency: True = HBM table + in-kernel per-chunk DMA,

@@ -386,11 +386,6 @@ def sharded_step(
     use_mg = params.pressure_solver == "mg"
     if use_mg and hierarchy is None:
         raise ValueError("pressure_solver='mg' needs a build_slab_hierarchy()")
-    if use_mg and params.mg_tol is not None:
-        raise NotImplementedError(
-            "mg_tol under shard_map needs a mesh-wide residual reduction; "
-            "use a fixed cycle count when sharded"
-        )
 
     D = slab.n_devices
 
@@ -408,6 +403,7 @@ def sharded_step(
 
         hier = ()
         coarse_reduce = None
+        tol_reduce = None
         if use_mg:
             children, parent, octant = (a[0] for a in hier_maps)
             g = hierarchy.coarse_level  # replicated closure constants
@@ -417,6 +413,12 @@ def sharded_step(
             )
             hier = (lvl1,) + hierarchy.rest
             coarse_reduce = lambda rc: jax.lax.psum(rc, axis)  # noqa: E731
+            # mesh-wide residual max for mg_tol: ghost rows carry WRONG
+            # residuals (their outer neighbors are off-table -> read as
+            # background 0), so mask to owned rows before the local max,
+            # then pmax so every device stops on the same cycle
+            tol_reduce = lambda r: jax.lax.pmax(  # noqa: E731
+                jnp.max(jnp.abs(r) * local_mask[:, None]), axis)
 
         def refresh_state(s: FieldState) -> FieldState:
             return FieldState(
@@ -430,7 +432,7 @@ def sharded_step(
 
         out = step_impl(
             topo, state, params, hierarchy=hier, refresh=refresh,
-            coarse_reduce=coarse_reduce,
+            coarse_reduce=coarse_reduce, tol_reduce=tol_reduce,
         )
 
         m = local_mask[:, None]  # [Tl,1]

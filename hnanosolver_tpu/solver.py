@@ -65,6 +65,7 @@ def step_impl(
     hierarchy: tuple = (),
     refresh=_identity,
     coarse_reduce=None,
+    tol_reduce=None,
 ) -> FieldState:
     """THE pipeline — the single implementation behind both the one-chip
     ``step`` and the shard_map slab step (parallel/slab.py).
@@ -132,7 +133,7 @@ def step_impl(
             params.omega, tol=params.mg_tol, n_pre=params.mg_pre,
             n_post=params.mg_post, n_coarsest=params.mg_coarsest,
             refresh=rf_solver, coarse_reduce=coarse_reduce,
-            fmg=params.mg_fmg,
+            fmg=params.mg_fmg, tol_reduce=tol_reduce,
         )
     else:
         p = prs.solve_pressure(

@@ -447,8 +447,10 @@ def test_combine_kernel_table_bitexact():
     """The on-chip 27-table -> dual-table combine (build_table_dual_combine,
     chunk_dloc indirection + VMEM roll ladder) is BIT-identical to the XLA
     octant-packed build on a sparse topology, for several field counts."""
+    from hnanosolver_tpu.core.topology import ensure_dual_local
+
     rng = np.random.default_rng(23)
-    topo = _sparse_topo(rng)
+    topo = ensure_dual_local(_sparse_topo(rng))  # dloc is opt-in (r4 ADVICE)
     T = topo.capacity
     assert topo.chunk_dloc is not None
     for nf in (1, 3, 5):
@@ -464,8 +466,10 @@ def test_combine_kernel_sample_path_bitexact(monkeypatch):
     """bfecc_sample_fused with COMBINE_TBL forced on produces bit-identical
     samples to the default dual build (the table is bit-equal, so the
     kernel's outputs must be too)."""
+    from hnanosolver_tpu.core.topology import ensure_dual_local
+
     rng = np.random.default_rng(24)
-    topo = _sparse_topo(rng)
+    topo = ensure_dual_local(_sparse_topo(rng))
     T = topo.capacity
     fields = _rand_fields(rng, T, 3) + _rand_fields(rng, T, 2)
     sdt = 0.3
@@ -486,8 +490,10 @@ def test_combine_kernel_mixed_share_bitexact(monkeypatch):
     """Mixed-window dispatch with the combine kernel on (one shared
     27-table feeding both the back-pass dual combine and the wide forward
     pass) matches the unshared dispatch bit-for-bit."""
+    from hnanosolver_tpu.core.topology import ensure_dual_local
+
     rng = np.random.default_rng(25)
-    topo = build_topology_dense((16, 16, 16))
+    topo = ensure_dual_local(build_topology_dense((16, 16, 16)))
     T = topo.capacity
     vel_arr = jnp.stack(_rand_fields(rng, T, 3)) * 2.6  # mixed CFL band
     fields = _rand_fields(rng, T, 2)
@@ -502,8 +508,10 @@ def test_combine_kernel_velocity_share_bitexact(monkeypatch):
     """Velocity self-advection in the mixed band with the combine kernel
     on (shared 27-table feeds the dual combine AND the wide forward pass,
     f_lo == 0) matches the default path bit-for-bit."""
+    from hnanosolver_tpu.core.topology import ensure_dual_local
+
     rng = np.random.default_rng(26)
-    topo = build_topology_dense((16, 16, 16))
+    topo = ensure_dual_local(build_topology_dense((16, 16, 16)))
     T = topo.capacity
     vel_arr = jnp.stack(_rand_fields(rng, T, 3)) * 2.6
     ref = adv.advect_velocity(topo, vel_arr, 1.0, 1.0)

@@ -130,3 +130,51 @@ def test_state_export(grids, tmp_path):
     assert any("density" in p for p in paths)
     name, vs, o, v, _ = read_nvdb([p for p in paths if "density" in p][0])
     assert v.shape[0] == 2 and np.all(v == 1.0)
+
+
+def test_vdb_chain_cross_validated(validator, tmp_path):
+    """Cross-format chain (VERDICT r4 next-5, strongest check obtainable
+    without an OpenVDB build — see docs/vdb_acceptance.md): a .vdb written
+    by the INDEPENDENT foreign writer (tests/foreign_vdb.py, written from
+    the public format docs, blosc codec) -> decoded by io/vdb.read_vdb
+    (the code under test) -> re-encoded as .nvdb -> read back by the REAL
+    NanoVDB header (non-self-written). Point samples and the value
+    checksum must survive the whole chain, pinning read_vdb's coords and
+    values against a format oracle we didn't write."""
+    import subprocess as sp
+
+    from tests.foreign_vdb import ForeignGrid, write_foreign_vdb
+
+    from hnanosolver_tpu.io.vdb import read_vdb
+
+    rng = np.random.default_rng(7)
+    origins = np.array(
+        [[0, 0, 0], [8, 0, 0], [0, 8, 8], [-8, 16, 24], [40, -16, 8]],
+        np.int32,
+    )
+    vals = rng.standard_normal((len(origins), 512)).astype(np.float32)
+    vp = str(tmp_path / "foreign.vdb")
+    write_foreign_vdb(
+        vp, [ForeignGrid("density", origins, vals, voxel_size=0.25)],
+        compress="blosc",
+    )
+
+    gs = read_vdb(vp)
+    (g,) = [x for x in gs if x["name"] == "density"]
+    nv = str(tmp_path / "chain.nvdb")
+    write_nvdb(nv, np.asarray(g["origins"], np.int32) // 8,
+               np.asarray(g["values"]).reshape(-1, 8, 8, 8),
+               name="density", voxel_size=g["voxel_size"])
+
+    out = sp.run([validator, nv, "float", "summary"],
+                 check=True, capture_output=True, text=True).stdout
+    np.testing.assert_allclose(
+        float(out.split("sum ")[1]), float(vals.sum()), rtol=1e-5)
+
+    for li in (0, 2, 4):
+        lx, ly, lz = rng.integers(0, 8, 3)
+        i, j, k = origins[li] + [lx, ly, lz]
+        out = sp.run([validator, nv, "float", str(i), str(j), str(k)],
+                     check=True, capture_output=True, text=True).stdout
+        want = vals[li].reshape(8, 8, 8)[lx, ly, lz]
+        np.testing.assert_allclose(float(out.split()[1]), want, rtol=1e-5)

@@ -114,12 +114,11 @@ def test_sharded_step_mg_matches_single_device(rng, mesh):
     state = _demo_state(topo, rng)
     params = SolverParams(
         dt=0.2, iterations=2, voxel_size=0.5, pressure_solver="mg",
-        mg_levels=1, mg_coarsest=4, mg_fmg=False,
-        # mg_fmg=False: FMG is single-chip only (solve_pressure_mg skips
-        # it when refresh/coarse_reduce hooks are given), so the sharded
-        # step runs plain V-cycles — this test asserts DECOMPOSITION
-        # parity, which needs both sides on the same algorithm (measured
-        # bit-identical with it pinned; 4.4e-3 apart with FMG on one side)
+        mg_levels=1, mg_coarsest=4, mg_fmg=True,
+        # FMG runs sharded since r5 (fmg_initial_guess threads the ghost
+        # refresh at the fine level and psums the level-0->1 restriction),
+        # so decomposition parity is asserted WITH it on — both sides run
+        # the identical algorithm.
     )
     hier = tuple(build_hierarchy(topo, params.mg_levels))
     from hnanosolver_tpu.solver import step
@@ -142,6 +141,79 @@ def test_sharded_step_mg_matches_single_device(rng, mesh):
             np.asarray(got.scalars[k])[m], np.asarray(want.scalars[k])[m],
             rtol=1e-4, atol=1e-5, err_msg=k,
         )
+
+
+@pytest.mark.slow
+def test_sharded_mg_tol_converges(rng, mesh):
+    """mg_tol under shard_map (VERDICT r4 next-3 done-criterion): the
+    owned-rows-masked pmax residual stops the V-cycle while_loop mesh-wide,
+    and the gathered pressure meets the residual target when checked
+    single-chip: max|r| <= tol * max|div0|."""
+    from jax.sharding import PartitionSpec as P
+
+    from hnanosolver_tpu.fields import FieldState
+    from hnanosolver_tpu.ops import pressure as prs
+    from hnanosolver_tpu.ops.multigrid import MGLevel, solve_pressure_mg
+    from hnanosolver_tpu.parallel.slab import _local_topo, build_slab_hierarchy
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    topo = _random_sparse_topology(rng)
+    m = active_mask(topo)[:, None]
+    div = jnp.asarray(
+        rng.standard_normal((topo.capacity, 512)).astype(np.float32)
+    ) * m
+    dx, tol, cap = 0.5, 0.1, 30
+
+    slab = build_slabs(topo, 4)
+    shier = build_slab_hierarchy(topo, slab, 1)
+    div_l = scatter_state(
+        topo, slab, zeros_state(topo).with_scalar("div", div)
+    ).scalars["div"]
+
+    def local_solve(slab_arrs, hier_maps, divl):
+        keys, origins, nbr, n_rows, local_mask = (a[0] for a in slab_arrs[:5])
+        ex = tuple(a[0] for a in slab_arrs[5:])
+        n_rows = n_rows[()] if n_rows.ndim == 0 else n_rows
+        ltopo = _local_topo((keys, origins, nbr, n_rows))
+        refresh = slab.make_refresh_local("x", ex)
+        children, parent, octant = (a[0] for a in hier_maps)
+        g = shier.coarse_level
+        lvl1 = MGLevel(topo=g.topo, children=children, parent=parent,
+                       octant=octant, mask=g.mask)
+        p = solve_pressure_mg(
+            ltopo, [lvl1, *shier.rest], refresh(divl[0]), cap, dx,
+            tol=tol, fmg=True, refresh=refresh,
+            coarse_reduce=lambda rc: jax.lax.psum(rc, "x"),
+            tol_reduce=lambda r: jax.lax.pmax(
+                jnp.max(jnp.abs(r) * local_mask[:, None]), "x"),
+        )
+        return (p * local_mask[:, None])[None]
+
+    slab_leaves = tuple(slab.tree_flatten()[0])
+    hier_maps = (shier.children_local, shier.parent_global,
+                 shier.octant_local)
+    fn = shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(tuple(P("x") for _ in slab_leaves),
+                  tuple(P("x") for _ in hier_maps), P("x")),
+        out_specs=P("x"),
+    )
+    p_l = fn(slab_leaves, hier_maps, div_l)
+    D, Tl = slab.keys.shape
+    p_g = gather_state(
+        topo, slab,
+        FieldState(velocity=jnp.zeros((D, 3, Tl, 512), p_l.dtype),
+                   scalars={"p": p_l}),
+    ).scalars["p"]
+
+    rmax = float(jnp.max(jnp.abs(prs.residual(topo, p_g, div, dx))))
+    div0 = float(jnp.max(jnp.abs(div)))
+    assert np.isfinite(np.asarray(p_g)).all()
+    assert rmax <= tol * div0 * 1.01, (rmax, tol * div0)
 
 
 @pytest.mark.slow

@@ -31,13 +31,14 @@ def main():
     import jax.numpy as jnp
 
     import bench
-    from hnanosolver_tpu.core.topology import build_topology
+    from hnanosolver_tpu.core.topology import build_topology, ensure_dual_local
     from hnanosolver_tpu.ops import advection as adv
     from hnanosolver_tpu.ops import pallas_bfecc as pb
 
     tiles = bench.build_plume_envelope()
     n = len(np.unique(tiles, axis=0))
-    topo = build_topology(tiles, capacity=((n + 1 + 511) // 512) * 512)
+    topo = ensure_dual_local(
+        build_topology(tiles, capacity=((n + 1 + 511) // 512) * 512))
     T = int(topo.capacity)
     rng = np.random.default_rng(0)
     print(f"domain {int(topo.n_active)} tiles cap {T}", flush=True)
