@@ -1,0 +1,191 @@
+"""SCALE_r05 (VERDICT r4 next-4): a QUIET-WINDOW 1024^3 record with MG.
+
+SCALE_r04's 2105 ms MG step was a congested upper bound (92-247 s single
+steps in that window vs the r3 quiet 2.67 s). This probe re-measures
+BASELINE config 5 at radius 256 (~269k tiles / ~138 M voxels) with the
+round-5 stack, under quiet-window discipline:
+
+  - many rounds spread across congestion windows (45 s gaps), min-of-rounds
+  - per-round RAW chain times recorded so quietness is auditable from the
+    artifact (VERDICT r4 weak-6: single steps must be within ~1.5x quiet)
+  - residual row (div0 / rmax / div_after) measured once — noise-immune
+
+Run: python tools/tpu_submit.py 131_scale_r5 tools/scale1024_r5.py 9000
+"""
+from __future__ import annotations
+
+_KEEP = {"jax", "time", "json", "np", "__builtins__", "__name__", "out"}
+for _k in [k for k in list(globals()) if k not in _KEEP and not k.startswith("__")]:
+    del globals()[_k]
+try:
+    import jax as _jax
+
+    _jax.clear_caches()
+except Exception:
+    pass
+
+import json  # noqa: E402
+import sys  # noqa: E402
+import time  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+RADIUS = 256
+MG_LEVELS = 5
+MG_EXTRA_CYCLES = 2
+ROUNDS = 8
+GAP_S = 45.0
+QUIET_SINGLE_S = 2.67  # r3's best recorded 1024^3 single step (RBGS-50);
+# a round whose 1-step chain is <= 1.5x this ran in a quiet-class window
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from hnanosolver_tpu.config import SolverParams
+    from hnanosolver_tpu.core.topology import build_topology
+    from hnanosolver_tpu.fields import zeros_state
+    from hnanosolver_tpu.models.plume import PlumeConfig, _plume_step
+    from hnanosolver_tpu.ops.multigrid import hierarchy_for, solve_pressure_mg
+    from hnanosolver_tpu.ops.pressure import solve_pressure
+    from hnanosolver_tpu.ops.stencil import divergence, subtract_pressure_gradient
+
+    sys.path.insert(0, "/root/repo/tools")
+    from envelopes import plume_envelope_1024
+
+    tiles = plume_envelope_1024(RADIUS, 1024, 512, 512)
+    n = len(np.unique(tiles, axis=0))
+    topo = build_topology(tiles, capacity=((n + 1 + 511) // 512) * 512)
+    voxels = int(topo.num_voxels)
+    print(f"domain: {int(topo.n_active)} tiles = {voxels / 1e6:.1f} M voxels"
+          f" (capacity {int(topo.capacity)})", flush=True)
+
+    cfg = PlumeConfig(center=(512.0, 96.0, 512.0), radius=80.0,
+                      velocity_jet=8.0)
+    p_mg = SolverParams(dt=1.0 / 24.0, voxel_size=0.5, pressure_solver="mg",
+                        iterations=MG_EXTRA_CYCLES, mg_levels=MG_LEVELS,
+                        mg_fmg=True)
+    p_rb = SolverParams(dt=1.0 / 24.0, voxel_size=0.5, iterations=50)
+    hier = hierarchy_for(topo, p_mg)
+    print(f"hierarchy tiles/level: {[int(l.topo.n_active) for l in hier]}",
+          flush=True)
+
+    chain = functools.partial(
+        jax.jit, static_argnames=("params", "cfg"), donate_argnums=(1,)
+    )(lambda t, s, k, params, cfg, h: jax.lax.fori_loop(
+        0, k, lambda _, x: _plume_step(t, x, params, cfg, h), s))
+
+    def pull(tree):
+        np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[:1]
+
+    st = zeros_state(topo)
+    t0 = time.perf_counter()
+    st = chain(topo, st, jnp.asarray(4), p_rb, cfg, ())
+    pull(st)
+    print(f"develop 4 RBGS steps (incl. compile): "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+    t0 = time.perf_counter()
+    st = chain(topo, st, jnp.asarray(1), p_mg, cfg, hier)
+    pull(st)
+    print(f"warm MG step (incl. compile): {time.perf_counter() - t0:.1f} s",
+          flush=True)
+
+    # --- residual row first (noise-immune): project-only on the developed
+    # velocity, MG vs RBGS-50 ---
+    @functools.partial(jax.jit, static_argnames=("params",))
+    def project_p(vel, params, hierarchy):
+        div = divergence(topo, vel, params.inv_voxel_size)
+        if params.pressure_solver == "mg":
+            p = solve_pressure_mg(
+                topo, list(hierarchy), div, params.iterations,
+                params.voxel_size, params.omega, n_pre=params.mg_pre,
+                n_post=params.mg_post, n_coarsest=params.mg_coarsest,
+                fmg=params.mg_fmg)
+        else:
+            p = solve_pressure(topo, div, params.iterations,
+                               params.voxel_size, params.omega,
+                               halo_lag=params.effective_halo_lag)
+        return p, div
+
+    @jax.jit
+    def resid_of(vel, p, div):
+        from hnanosolver_tpu.ops.pressure import residual
+
+        out2 = subtract_pressure_gradient(topo, vel, p, p_rb.inv_voxel_size)
+        return (jnp.max(jnp.abs(div)),
+                jnp.max(jnp.abs(residual(topo, p, div, p_rb.voxel_size))),
+                jnp.max(jnp.abs(divergence(topo, out2,
+                                           p_rb.inv_voxel_size))))
+
+    vel = st.velocity
+    stats = {}
+    for name, (params, hierarchy) in (("mg", (p_mg, hier)),
+                                      ("rbgs", (p_rb, ()))):
+        p, div = project_p(vel, params, hierarchy)
+        pull(p)
+        d0, rmax, dafter = (float(x) for x in resid_of(vel, p, div))
+        stats[name] = (d0, rmax, dafter)
+        print(f"residual[{name}]: div_before {d0:.3f} rmax_after {rmax:.3f}"
+              f" div_after {dafter:.3f}", flush=True)
+
+    # --- quiet-window step timing: min-of-ROUNDS 1-vs-3 chain slopes,
+    # rounds separated by GAP_S so they span congestion windows ---
+    rows = []
+    best = {"mg": float("inf"), "rbgs": float("inf")}
+    best_single = {"mg": float("inf"), "rbgs": float("inf")}
+    for r in range(ROUNDS):
+        if r:
+            time.sleep(GAP_S)
+        # throwaway call: first post-idle call pays tunnel cold-start
+        st = chain(topo, st, jnp.asarray(1), p_rb, cfg, ())
+        pull(st)
+        row = {"round": r}
+        for name, (params, hierarchy) in (("mg", (p_mg, hier)),
+                                          ("rbgs", (p_rb, ()))):
+            ts = []
+            for k in (1, 3):
+                t0 = time.perf_counter()
+                st = chain(topo, st, jnp.asarray(k), params, cfg, hierarchy)
+                pull(st)
+                ts.append(time.perf_counter() - t0)
+            s = (ts[1] - ts[0]) / 2
+            est = s if s > 0 else ts[1] / 3
+            best[name] = min(best[name], est)
+            best_single[name] = min(best_single[name], ts[0])
+            row[name] = [round(t, 3) for t in ts]
+            row[name + "_ms"] = round(est * 1e3, 0)
+        rows.append(row)
+        print(f"round {r}: mg {row['mg_ms']:.0f} ms raw {row['mg']}  "
+              f"rbgs {row['rbgs_ms']:.0f} ms raw {row['rbgs']}", flush=True)
+
+    res = {
+        "config": "baseline-5-1024^3-single-chip-r5-quiet",
+        "radius_vox": RADIUS, "tiles": int(topo.n_active), "voxels": voxels,
+        "quiet_criterion_single_s": QUIET_SINGLE_S,
+        "best_single_step_s": {k: round(v, 3)
+                               for k, v in best_single.items()},
+        "mg": {"levels": MG_LEVELS, "fmg": True,
+               "extra_cycles": MG_EXTRA_CYCLES,
+               "step_ms": round(best["mg"] * 1e3, 1),
+               "mvoxps": round(voxels / best["mg"] / 1e6, 1),
+               "div0": round(stats["mg"][0], 3),
+               "rmax": round(stats["mg"][1], 3),
+               "div_after": round(stats["mg"][2], 3)},
+        "rbgs": {"iters": 50,
+                 "step_ms": round(best["rbgs"] * 1e3, 1),
+                 "mvoxps": round(voxels / best["rbgs"] / 1e6, 1),
+                 "div0": round(stats["rbgs"][0], 3),
+                 "rmax": round(stats["rbgs"][1], 3),
+                 "div_after": round(stats["rbgs"][2], 3)},
+        "rounds": rows,
+    }
+    print(json.dumps(res), flush=True)
+    out(res)  # noqa: F821
+
+
+main()
