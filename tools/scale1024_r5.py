@@ -95,8 +95,39 @@ def main():
     print(f"warm MG step (incl. compile): {time.perf_counter() - t0:.1f} s",
           flush=True)
 
-    # --- residual row first (noise-immune): project-only on the developed
-    # velocity, MG vs RBGS-50 ---
+    # --- quiet-window step timing: min-of-ROUNDS 1-vs-3 chain slopes,
+    # rounds separated by GAP_S so they span congestion windows ---
+    rows = []
+    best = {"mg": float("inf"), "rbgs": float("inf")}
+    best_single = {"mg": float("inf"), "rbgs": float("inf")}
+    for r in range(ROUNDS):
+        if r:
+            time.sleep(GAP_S)
+        # throwaway call: first post-idle call pays tunnel cold-start
+        st = chain(topo, st, jnp.asarray(1), p_rb, cfg, ())
+        pull(st)
+        row = {"round": r}
+        for name, (params, hierarchy) in (("mg", (p_mg, hier)),
+                                          ("rbgs", (p_rb, ()))):
+            ts = []
+            for k in (1, 3):
+                t0 = time.perf_counter()
+                st = chain(topo, st, jnp.asarray(k), params, cfg, hierarchy)
+                pull(st)
+                ts.append(time.perf_counter() - t0)
+            s = (ts[1] - ts[0]) / 2
+            est = s if s > 0 else ts[1] / 3
+            best[name] = min(best[name], est)
+            best_single[name] = min(best_single[name], ts[0])
+            row[name] = [round(t, 3) for t in ts]
+            row[name + "_ms"] = round(est * 1e3, 0)
+        rows.append(row)
+        print(f"round {r}: mg {row['mg_ms']:.0f} ms raw {row['mg']}  "
+              f"rbgs {row['rbgs_ms']:.0f} ms raw {row['rbgs']}", flush=True)
+
+    # --- residual row (noise-immune), AFTER timing: project-only on the
+    # final developed velocity. Holding vel/p/div (~3.3 GB) across the
+    # timing rounds OOM'd the first run (job 138) ---
     @functools.partial(jax.jit, static_argnames=("params",))
     def project_p(vel, params, hierarchy):
         div = divergence(topo, vel, params.inv_voxel_size)
@@ -133,36 +164,8 @@ def main():
         print(f"residual[{name}]: div_before {d0:.3f} rmax_after {rmax:.3f}"
               f" div_after {dafter:.3f}", flush=True)
 
-    # --- quiet-window step timing: min-of-ROUNDS 1-vs-3 chain slopes,
-    # rounds separated by GAP_S so they span congestion windows ---
-    rows = []
-    best = {"mg": float("inf"), "rbgs": float("inf")}
-    best_single = {"mg": float("inf"), "rbgs": float("inf")}
-    for r in range(ROUNDS):
-        if r:
-            time.sleep(GAP_S)
-        # throwaway call: first post-idle call pays tunnel cold-start
-        st = chain(topo, st, jnp.asarray(1), p_rb, cfg, ())
-        pull(st)
-        row = {"round": r}
-        for name, (params, hierarchy) in (("mg", (p_mg, hier)),
-                                          ("rbgs", (p_rb, ()))):
-            ts = []
-            for k in (1, 3):
-                t0 = time.perf_counter()
-                st = chain(topo, st, jnp.asarray(k), params, cfg, hierarchy)
-                pull(st)
-                ts.append(time.perf_counter() - t0)
-            s = (ts[1] - ts[0]) / 2
-            est = s if s > 0 else ts[1] / 3
-            best[name] = min(best[name], est)
-            best_single[name] = min(best_single[name], ts[0])
-            row[name] = [round(t, 3) for t in ts]
-            row[name + "_ms"] = round(est * 1e3, 0)
-        rows.append(row)
-        print(f"round {r}: mg {row['mg_ms']:.0f} ms raw {row['mg']}  "
-              f"rbgs {row['rbgs_ms']:.0f} ms raw {row['rbgs']}", flush=True)
-
+        del p, div
+    del vel
     res = {
         "config": "baseline-5-1024^3-single-chip-r5-quiet",
         "radius_vox": RADIUS, "tiles": int(topo.n_active), "voxels": voxels,

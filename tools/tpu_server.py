@@ -69,6 +69,23 @@ def main():
         except Exception:
             status = "error"
             traceback.print_exc(file=buf)
+            # An OOM'd job can strand device buffers (its locals are pinned
+            # by the live exception/frames until collected, and jax keeps
+            # failed dispatches queued) — job 138 left the chip full and
+            # every later job died instantly. Drop everything reachable,
+            # then collect + clear so the next job starts on a clean HBM.
+            import gc
+
+            for k in [k for k in list(ns)
+                      if k not in ("jax", "time", "json", "out")
+                      and not k.startswith("__")]:
+                del ns[k]
+            gc.collect()
+            try:
+                jax.clear_caches()
+            except Exception:
+                pass
+            gc.collect()
         finally:
             sys.stdout = old
         dt = time.perf_counter() - t0
