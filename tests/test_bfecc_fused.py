@@ -54,7 +54,11 @@ def _wide_bfecc(topo, fields, dx, dy, dz, sdt, f_lo, sdf):
 
 
 def _sparse_topo(rng):
-    box = np.array([(x, y, z) for x in range(6) for y in range(6) for z in range(6)])
+    # 5^3 tile box (was 6^3): same chunk/coverage class (one 512-row chunk,
+    # missing neighbors on every face, >= 3 tiles per axis so the 24-window
+    # spans full tile triples) at ~60% of the interpret-mode wall time —
+    # the fast tier is compile/interpret-bound (VERDICT r4 next-8)
+    box = np.array([(x, y, z) for x in range(5) for y in range(5) for z in range(5)])
     return build_topology(box[rng.random(len(box)) < 0.5])
 
 
@@ -443,6 +447,7 @@ def test_bfecc_limit_blocks_bitexact(monkeypatch):
     assert jnp.array_equal(ref, blocked)
 
 
+@pytest.mark.slow  # COMBINE_TBL is default-off (measured negative, NOTES r4 fact 50)
 def test_combine_kernel_table_bitexact():
     """The on-chip 27-table -> dual-table combine (build_table_dual_combine,
     chunk_dloc indirection + VMEM roll ladder) is BIT-identical to the XLA
@@ -462,6 +467,7 @@ def test_combine_kernel_table_bitexact():
         assert jnp.array_equal(got, ref), float(jnp.max(jnp.abs(got - ref)))
 
 
+@pytest.mark.slow  # COMBINE_TBL is default-off (measured negative, NOTES r4 fact 50)
 def test_combine_kernel_sample_path_bitexact(monkeypatch):
     """bfecc_sample_fused with COMBINE_TBL forced on produces bit-identical
     samples to the default dual build (the table is bit-equal, so the
@@ -486,6 +492,7 @@ def test_combine_kernel_sample_path_bitexact(monkeypatch):
             assert jnp.array_equal(x, y)
 
 
+@pytest.mark.slow  # COMBINE_TBL is default-off (measured negative, NOTES r4 fact 50)
 def test_combine_kernel_mixed_share_bitexact(monkeypatch):
     """Mixed-window dispatch with the combine kernel on (one shared
     27-table feeding both the back-pass dual combine and the wide forward
@@ -504,6 +511,7 @@ def test_combine_kernel_mixed_share_bitexact(monkeypatch):
     assert jnp.array_equal(ref_b, got_b)
 
 
+@pytest.mark.slow  # COMBINE_TBL is default-off (measured negative, NOTES r4 fact 50)
 def test_combine_kernel_velocity_share_bitexact(monkeypatch):
     """Velocity self-advection in the mixed band with the combine kernel
     on (shared 27-table feeds the dual combine AND the wide forward pass,

@@ -19,6 +19,7 @@ SMALL = dict(
 )
 
 
+@pytest.mark.slow  # multi-frame scenario; signal/cancel logic covered fast by the other tests here
 def test_interrupter_stops_run_between_frames():
     frames_done = []
 

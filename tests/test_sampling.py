@@ -4,6 +4,7 @@ including the background-0 convention and cross-tile interpolation."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnanosolver_tpu.core import coords as C
 from hnanosolver_tpu.core.topology import build_topology, build_topology_dense
@@ -160,6 +161,7 @@ def test_local_trilinear_vector_and_offset(rng):
         )
 
 
+@pytest.mark.slow  # non-default trace_order; RK order behavior covered fast by test_physics::test_rk_trace_orders
 def test_rk4_trace_wiring(rng):
     """RK4 backtrace (reference rk4_integrate parity): exact agreement with
     order-1 in a uniform flow (all orders collapse there), finite and
