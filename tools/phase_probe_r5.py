@@ -122,7 +122,7 @@ def main():
         # the mixed band's XLA dual-table build (8 fields), alone
         def body(_, x):
             t = pb.build_table_dual(topo, [b + x for b in base8])
-            return x + t[0, 0, 0] * 1e-30
+            return x + jnp.reshape(t, (-1,))[0] * 1e-30
         return jax.lax.fori_loop(0, k, body, x)
 
     div0 = stn.divergence(topo, state.velocity, inv_dx)
